@@ -1,0 +1,163 @@
+"""Frozen-dataclass configuration system.
+
+The reference (a student FPGA project archetype, SURVEY.md §5) hardcodes its
+parameters; here every judged config (BASELINE.json:6-12) is expressible as an
+``AmcConfig`` plus ``key=value`` CLI overrides (see cli.py). No Hydra/gin —
+nothing is vendored because the environment has no network.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+# The 11 RadioML-2016.10a classes, alphabetical (the dataset's own key order).
+RML_CLASSES: Tuple[str, ...] = (
+    "8PSK", "AM-DSB", "AM-SSB", "BPSK", "CPFSK", "GFSK",
+    "PAM4", "QAM16", "QAM64", "QPSK", "WBFM",
+)
+
+
+@dataclass(frozen=True)
+class ChannelConfig:
+    """Channel impairment model for the synthetic generator (SURVEY.md N1)."""
+    snr_db: float = 18.0
+    # Carrier frequency offset, uniform in [-max, max], cycles/sample.
+    max_cfo: float = 1e-3
+    # Sample-rate offset, uniform in [-max, max] (relative, e.g. 5e-5 = 50 ppm).
+    max_sro: float = 5e-5
+    # Random initial phase offset.
+    random_phase: bool = True
+    # Random symbol-timing offset (fraction of a symbol period).
+    random_timing: bool = True
+    # 3-tap Rayleigh multipath (False for clean curriculum / golden tests).
+    multipath: bool = False
+    multipath_taps: int = 3
+    multipath_delay_spread: float = 0.5
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    classes: Tuple[str, ...] = RML_CLASSES
+    frame_len: int = 128
+    sps: int = 8                      # samples per symbol (RML2016.10a uses 8)
+    rrc_beta: float = 0.35            # RRC excess bandwidth
+    rrc_span: int = 8                 # RRC filter span in symbols
+    frames_per_class_per_snr: int = 1000
+    snr_db_min: int = -20
+    snr_db_max: int = 18
+    snr_db_step: int = 2
+    seed: int = 0
+    channel: ChannelConfig = field(default_factory=ChannelConfig)
+    # Optional path to a real RML2016.10a.pkl; falls back to synthetic when None.
+    radioml_pickle: str | None = None
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """VT-CNN2-family conv-conv-dense topology (BASELINE.json:8)."""
+    num_classes: int = 11
+    conv1_filters: int = 256
+    conv2_filters: int = 80
+    dense_units: int = 256
+    dropout_rate: float = 0.5
+    # Compute dtype for activations; params stay fp32.
+    dtype: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 1024
+    num_steps: int = 3000
+    learning_rate: float = 1e-3
+    warmup_steps: int = 100
+    weight_decay: float = 0.0
+    seed: int = 42
+    eval_every: int = 500
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 1000
+    log_jsonl: str | None = None
+
+
+@dataclass(frozen=True)
+class QuantConfig:
+    """Post-training int8 quantization (SURVEY.md N13)."""
+    weight_per_channel: bool = True
+    act_percentile: float = 99.99     # calibration clip percentile
+    calib_frames: int = 4096
+
+
+@dataclass(frozen=True)
+class StreamConfig:
+    """Streaming front-end (SURVEY.md N4-N7, config 4 of BASELINE.json)."""
+    num_subbands: int = 16            # polyphase channelizer branches
+    taps_per_branch: int = 8          # prototype filter taps per branch
+    resample_up: int = 1
+    resample_down: int = 1
+    fir_taps: int = 33
+    frame_hop: int = 128              # non-overlapping classification frames
+    block_len: int = 1 << 15          # overlap-save block length (per device)
+    normalize_cfo: bool = True
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Logical device mesh (SURVEY.md N14-N16): data x model x time axes."""
+    data: int = 1                     # DP over frames/batch
+    model: int = 1                    # channel sharding (TP-analog)
+    time: int = 1                     # time-block sharding (SP/CP-analog)
+
+
+@dataclass(frozen=True)
+class BenchConfig:
+    batch_size: int = 4096
+    warmup_iters: int = 5
+    timed_iters: int = 20
+    dtype: str = "int8"               # headline path (SURVEY.md §6 roofline)
+
+
+@dataclass(frozen=True)
+class AmcConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    quant: QuantConfig = field(default_factory=QuantConfig)
+    stream: StreamConfig = field(default_factory=StreamConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    bench: BenchConfig = field(default_factory=BenchConfig)
+
+
+def _set_nested(cfg: Any, dotted: str, value: str) -> Any:
+    """Return a copy of ``cfg`` with ``a.b.c`` replaced by parsed ``value``."""
+    head, _, rest = dotted.partition(".")
+    if not hasattr(cfg, head):
+        raise KeyError(f"unknown config field {head!r} on {type(cfg).__name__}")
+    if rest:
+        sub = _set_nested(getattr(cfg, head), rest, value)
+        return dataclasses.replace(cfg, **{head: sub})
+    current = getattr(cfg, head)
+    return dataclasses.replace(cfg, **{head: _parse_like(current, value)})
+
+
+def _parse_like(current: Any, value: str) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        return tuple(v.strip() for v in value.split(","))
+    if current is None or isinstance(current, str):
+        return None if value.lower() == "none" else value
+    raise TypeError(f"cannot parse override for field of type {type(current)}")
+
+
+def apply_overrides(cfg: AmcConfig, overrides: list[str]) -> AmcConfig:
+    """Apply ``a.b=c`` style CLI overrides to a frozen config tree."""
+    for item in overrides:
+        key, eq, value = item.partition("=")
+        if not eq:
+            raise ValueError(f"override {item!r} is not of the form key=value")
+        cfg = _set_nested(cfg, key, value)
+    return cfg
