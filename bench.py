@@ -1,0 +1,91 @@
+"""Benchmark harness (SURVEY.md N20): classified IQ samples/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is measured-value / 1e9 (the BASELINE.json:5 target of 1 GS/s
+classified IQ per v5e chip). Run on the real chip:  python bench.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
+
+
+def run(cfg=None, quiet: bool = False) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from modulationdetectioncnn_tpu.config import AmcConfig
+
+    cfg = cfg or AmcConfig()
+    bc = cfg.bench
+    frame_len = cfg.data.frame_len
+
+    if bc.dtype == "int8":
+        from modulationdetectioncnn_tpu.ops.infer import make_int8_forward_fn
+
+        fwd, args = make_int8_forward_fn(cfg, batch=bc.batch_size)
+    else:
+        from modulationdetectioncnn_tpu.models import VTCNN2
+
+        model = VTCNN2.from_config(cfg.model)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((2, 2, frame_len), jnp.float32)
+        )
+        x = jnp.asarray(
+            np.random.default_rng(0)
+            .standard_normal((bc.batch_size, 2, frame_len))
+            .astype(np.float32)
+        )
+        apply = jax.jit(lambda p, xb: model.apply(p, xb).argmax(-1))
+        fwd, args = apply, (params, x)
+
+    # Overhead-cancelled timing (see utils/timing.py: block_until_ready does
+    # not actually block through the tunneled TPU platform).
+    from modulationdetectioncnn_tpu.utils.timing import measure_per_iter
+
+    sec_per_iter = measure_per_iter(
+        fwd, args, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters
+    )
+    frames_per_sec = bc.batch_size / sec_per_iter
+    samples_per_sec = frames_per_sec * frame_len
+    result = {
+        "metric": "classified_iq_samples_per_sec_per_chip",
+        "value": round(samples_per_sec),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 4),
+    }
+    if not quiet:
+        print(json.dumps(result))
+        extra = {
+            "dtype": bc.dtype,
+            "batch": bc.batch_size,
+            "frames_per_sec": round(frames_per_sec),
+            "device": str(jax.devices()[0]),
+        }
+        print(json.dumps(extra), file=sys.stderr)
+    return result
+
+
+if __name__ == "__main__":
+    dtype = sys.argv[1] if len(sys.argv) > 1 else None
+    from modulationdetectioncnn_tpu.config import AmcConfig, apply_overrides
+
+    cfg = AmcConfig()
+    if dtype:
+        cfg = apply_overrides(cfg, [f"bench.dtype={dtype}"])
+    try:
+        run(cfg)
+    except Exception:
+        if cfg.bench.dtype != "bf16":
+            # int8 Pallas path unavailable (e.g. not yet built on this
+            # backend) — fall back to the bf16 XLA path so the driver always
+            # gets a number.
+            cfg = apply_overrides(cfg, ["bench.dtype=bf16"])
+            run(cfg)
+        else:
+            raise

@@ -1,0 +1,62 @@
+"""Overlap-save framer in JAX (SURVEY.md N7, config 4 of BASELINE.json).
+
+The continuous-stream -> blocks transform that makes streaming classification
+equal batch classification (the §4b exact-match test), and — sharded over the
+'time' mesh axis — the workload's context-parallel analog (SURVEY.md §5
+long-context row): each device gets contiguous blocks plus a ``halo`` of
+history samples; parallel/halo.py exchanges the halos via ppermute.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def overlap_save_blocks(x: jnp.ndarray, block_len: int, halo: int) -> jnp.ndarray:
+    """(T,) -> (ceil(T/B), halo + B). Zero left-history for block 0; final
+    partial block zero-padded on the right. Matches golden/dsp.py exactly."""
+    t_len = x.shape[-1]
+    n_blocks = -(-t_len // block_len)
+    pad_right = n_blocks * block_len - t_len
+    padded = jnp.pad(x, [(halo, pad_right)])
+    starts = jnp.arange(n_blocks) * block_len
+    return jax.vmap(
+        lambda s: jax.lax.dynamic_slice(padded, (s,), (halo + block_len,))
+    )(starts)
+
+
+def trim_halo(blocks: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Drop the (invalid after filtering) halo prefix of each block."""
+    return blocks[..., halo:]
+
+
+def concat_blocks(blocks: jnp.ndarray, out_len: int) -> jnp.ndarray:
+    """Inverse of overlap_save_blocks∘trim_halo: reassemble the stream."""
+    flat = blocks.reshape(blocks.shape[:-2] + (-1,))
+    return flat[..., :out_len]
+
+
+def frames_from_stream(
+    x: jnp.ndarray, frame_len: int, hop: int | None = None
+) -> jnp.ndarray:
+    """(..., T) -> (..., T//hop_or_frame, frame_len) classification frames.
+
+    Default hop = frame_len (non-overlapping, the reference's single-frame
+    streaming mode, SURVEY.md CS-2). Trailing remainder is dropped.
+    """
+    hop = hop or frame_len
+    t_len = x.shape[-1]
+    n_frames = (t_len - frame_len) // hop + 1 if t_len >= frame_len else 0
+    starts = jnp.arange(n_frames) * hop
+    return jnp.moveaxis(
+        jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(x, s, frame_len, axis=-1)
+        )(starts),
+        0,
+        -2,
+    )
+
+
+def iq_frames(frames: jnp.ndarray) -> jnp.ndarray:
+    """Complex frames (..., N, T) -> float32 (..., N, 2, T) CNN input."""
+    return jnp.stack([frames.real, frames.imag], axis=-2).astype(jnp.float32)

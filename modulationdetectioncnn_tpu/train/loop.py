@@ -1,0 +1,184 @@
+"""Training loop (SURVEY.md N12): Optax Adam + xent, jit with buffer donation,
+data-parallel over a jax.sharding Mesh (SURVEY.md N14).
+
+TPU-first notes: the whole train step is one jit'd function (traced once,
+static shapes), batches are placed with NamedSharding on the 'data' axis so
+XLA inserts the gradient psum over ICI automatically — no hand-written
+collectives on this path (BASELINE.json:5's scaling story; the explicit-
+collective path lives in parallel/halo.py).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import time
+from functools import partial
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from modulationdetectioncnn_tpu.config import AmcConfig
+from modulationdetectioncnn_tpu.models import VTCNN2
+
+log = logging.getLogger("amc.train")
+
+
+def make_mesh(data_axis: int | None = None) -> Mesh:
+    """1-D data-parallel mesh over all visible devices (or ``data_axis`` many)."""
+    devs = np.asarray(jax.devices())
+    n = data_axis or len(devs)
+    return Mesh(devs[:n].reshape(n), axis_names=("data",))
+
+
+def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+
+
+def make_train_step(model: VTCNN2, tx: optax.GradientTransformation):
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, dropout_key):
+        x, y = batch
+
+        def loss_fn(p):
+            logits = model.apply(
+                p, x, train=True, rngs={"dropout": dropout_key}
+            )
+            return cross_entropy(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = (logits.argmax(-1) == y).mean()
+        return params, opt_state, loss, acc
+
+    return train_step
+
+
+def make_eval_step(model: VTCNN2):
+    @jax.jit
+    def eval_step(params, x):
+        return model.apply(params, x).argmax(-1)
+
+    return eval_step
+
+
+def batch_iterator(
+    x: np.ndarray, y: np.ndarray, batch_size: int, seed: int
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Infinite shuffled batch stream (drops the ragged tail each epoch)."""
+    rng = np.random.default_rng(seed)
+    n = len(x)
+    while True:
+        perm = rng.permutation(n)
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = perm[i : i + batch_size]
+            yield x[idx], y[idx]
+
+
+def shard_batch(batch, mesh: Mesh):
+    spec = NamedSharding(mesh, P("data"))
+    return tuple(jax.device_put(b, spec) for b in batch)
+
+
+def evaluate(eval_step, params, x, y, batch_size: int = 2048) -> float:
+    """Accuracy over a full split (pads the tail batch to keep shapes static)."""
+    correct = 0
+    n = len(x)
+    for i in range(0, n, batch_size):
+        xb, yb = x[i : i + batch_size], y[i : i + batch_size]
+        k = len(xb)
+        if k < batch_size:
+            pad = batch_size - k
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+        pred = np.asarray(eval_step(params, jnp.asarray(xb)))[:k]
+        correct += int((pred == yb).sum())
+    return correct / n
+
+
+class JsonlLogger:
+    def __init__(self, path: str | None):
+        self.f = open(path, "a") if path else None
+
+    def write(self, **kv):
+        if self.f:
+            self.f.write(json.dumps(kv) + "\n")
+            self.f.flush()
+
+    def close(self):
+        if self.f:
+            self.f.close()
+
+
+def train(
+    cfg: AmcConfig,
+    train_data: tuple[np.ndarray, np.ndarray],
+    eval_data: tuple[np.ndarray, np.ndarray] | None = None,
+    mesh: Mesh | None = None,
+    callbacks: Any = None,
+):
+    """Run the full training loop; returns (params, metrics_history)."""
+    tc = cfg.train
+    model = VTCNN2.from_config(cfg.model)
+    mesh = mesh or make_mesh()
+
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, tc.learning_rate, tc.warmup_steps, tc.num_steps
+    )
+    tx = optax.adamw(schedule, weight_decay=tc.weight_decay)
+
+    key = jax.random.key(tc.seed)
+    key, init_key = jax.random.split(key)
+    x0 = jnp.zeros((2, 2, cfg.data.frame_len), jnp.float32)
+    params = model.init(init_key, x0)
+    # Replicate params/opt state across the data axis.
+    rep = NamedSharding(mesh, P())
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(tx.init(params), rep)
+
+    train_step = make_train_step(model, tx)
+    eval_step = make_eval_step(model)
+    batches = batch_iterator(*train_data, tc.batch_size, tc.seed)
+    jlog = JsonlLogger(tc.log_jsonl)
+
+    ckpt_mgr = None
+    if tc.checkpoint_dir:
+        from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
+
+        ckpt_mgr = ckpt.make_manager(tc.checkpoint_dir)
+
+    history = []
+    t_start = time.time()
+    samples_done = 0
+    with mesh:
+        for step in range(1, tc.num_steps + 1):
+            batch = shard_batch(next(batches), mesh)
+            key, dk = jax.random.split(key)
+            params, opt_state, loss, acc = train_step(params, opt_state, batch, dk)
+            samples_done += tc.batch_size
+            if step % tc.eval_every == 0 or step == tc.num_steps:
+                loss_v, acc_v = float(loss), float(acc)
+                rec = {
+                    "step": step,
+                    "loss": round(loss_v, 5),
+                    "train_acc": round(acc_v, 5),
+                    "samples_per_sec": round(samples_done / (time.time() - t_start)),
+                }
+                if eval_data is not None:
+                    rec["eval_acc"] = round(
+                        evaluate(eval_step, params, *eval_data), 5
+                    )
+                log.info("%s", rec)
+                jlog.write(**rec)
+                history.append(rec)
+            if ckpt_mgr and (step % tc.checkpoint_every == 0 or step == tc.num_steps):
+                from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
+
+                ckpt.save(ckpt_mgr, step, params, opt_state)
+    if ckpt_mgr:
+        ckpt_mgr.wait_until_finished()
+    jlog.close()
+    return params, history

@@ -1,0 +1,120 @@
+"""Golden (NumPy) vs JAX DSP front-end parity (SURVEY.md §4b, N4-N7)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from modulationdetectioncnn_tpu.dsp import channelizer, fir, framer, normalize
+from modulationdetectioncnn_tpu.golden import dsp as gold
+
+
+@pytest.fixture(scope="module")
+def stream(rng=None):
+    r = np.random.default_rng(5)
+    n = 4096
+    # A couple of tones + noise, complex64-representable.
+    t = np.arange(n)
+    x = (
+        np.exp(2j * np.pi * 0.07 * t)
+        + 0.5 * np.exp(2j * np.pi * -0.21 * t)
+        + 0.1 * (r.standard_normal(n) + 1j * r.standard_normal(n))
+    )
+    return x.astype(np.complex64)
+
+
+def test_channelizer_matches_golden(stream):
+    m, taps = 16, 8
+    h = gold.design_prototype(m, taps)
+    want = gold.pfb_channelize(stream.astype(np.complex128), h, m)
+    got = np.asarray(channelizer.channelize(jnp.asarray(stream), h, m))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_channelizer_isolates_tone():
+    """A pure tone at a subband center lands (almost) entirely in that bin."""
+    m, taps = 8, 8
+    h = gold.design_prototype(m, taps)
+    t = np.arange(2048)
+    k_target = 3
+    x = np.exp(2j * np.pi * (k_target / m) * t).astype(np.complex64)
+    y = np.asarray(channelizer.channelize(jnp.asarray(x), h, m))
+    power = (np.abs(y[taps:]) ** 2).mean(axis=0)  # skip filter ramp-in
+    assert power.argmax() == k_target
+    assert power[k_target] > 50 * (power.sum() - power[k_target])
+
+
+def test_fir_filter_matches_golden(stream):
+    h = gold.design_prototype(4, 8)  # any real FIR works here
+    want = gold.fir_filter(stream, h)
+    got = np.asarray(fir.fir_filter(jnp.asarray(stream), h))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("up,down", [(1, 2), (2, 1), (3, 2), (2, 3)])
+def test_fir_resample_matches_golden(stream, up, down):
+    h = fir.design_lowpass(33, 0.5 / max(up, down) * 0.8)
+    want = gold.fir_resample(stream, h, up, down)
+    got = np.asarray(fir.fir_resample(jnp.asarray(stream), h, up, down))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_cfo_estimate_and_correct():
+    r = np.random.default_rng(11)
+    true_cfo = 3.7e-3
+    n = 1024
+    syms = r.integers(0, 4, n)
+    x = np.exp(1j * (np.pi / 2 * syms + np.pi / 4))  # QPSK at 1 sps
+    x = x * np.exp(2j * np.pi * true_cfo * np.arange(n))
+    x = (x + 0.05 * (r.standard_normal(n) + 1j * r.standard_normal(n))).astype(
+        np.complex64
+    )
+    want = gold.estimate_cfo(x)
+    got = float(normalize.estimate_cfo(jnp.asarray(x)))
+    assert abs(want - true_cfo) < 2e-4
+    assert abs(got - want) < 5e-5
+    fixed = np.asarray(normalize.correct_cfo(jnp.asarray(x), jnp.float32(got)))
+    resid = gold.estimate_cfo(fixed)
+    assert abs(resid) < 2e-4
+
+
+def test_timing_estimate_matches_golden():
+    r = np.random.default_rng(13)
+    from modulationdetectioncnn_tpu.data.synthetic import rrc_filter
+
+    sps = 8
+    syms = (r.integers(0, 2, 256) * 2 - 1).astype(np.float64)
+    up = np.zeros(len(syms) * sps)
+    up[::sps] = syms
+    x = np.convolve(up, rrc_filter(0.35, sps, 6))[: len(up)].astype(np.complex64)
+    want = gold.estimate_timing(x, sps)
+    got = float(normalize.estimate_timing(jnp.asarray(x), sps))
+    assert abs(got - want) < 1e-3 * sps
+
+
+def test_overlap_save_blocks_match_golden(stream):
+    blocks_g = gold.overlap_save_blocks(stream, block_len=512, halo=64)
+    blocks_j = np.asarray(framer.overlap_save_blocks(jnp.asarray(stream), 512, 64))
+    np.testing.assert_array_equal(blocks_j, blocks_g)
+
+
+def test_overlap_save_filter_streamed_equals_batch(stream):
+    """The §4b exact-match invariant, at the FIR level (fp32)."""
+    h = fir.design_lowpass(33, 0.2)
+    batch = np.asarray(fir.fir_filter(jnp.asarray(stream), h))
+    halo = len(h) - 1
+    blocks = framer.overlap_save_blocks(jnp.asarray(stream), 512, halo)
+    filtered = fir.fir_filter(blocks, h)
+    streamed = np.asarray(
+        framer.concat_blocks(framer.trim_halo(filtered, halo), len(stream))
+    )
+    np.testing.assert_allclose(streamed, batch, rtol=1e-5, atol=1e-5)
+
+
+def test_frames_from_stream():
+    x = jnp.arange(1000) + 0j
+    fr = np.asarray(framer.frames_from_stream(x, 128))
+    assert fr.shape == (7, 128)
+    np.testing.assert_array_equal(fr[2].real, np.arange(256, 384))
+    iq = np.asarray(framer.iq_frames(framer.frames_from_stream(x, 128)))
+    assert iq.shape == (7, 2, 128)
+    assert iq.dtype == np.float32
