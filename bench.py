@@ -25,6 +25,12 @@ def run(cfg=None, quiet: bool = False) -> dict:
     bc = cfg.bench
     frame_len = cfg.data.frame_len
 
+    # Start the one-time transfer-channel init now so it overlaps compiles
+    # (see utils/device.py; harmless no-op on direct-attached TPUs).
+    from modulationdetectioncnn_tpu.utils.device import warm_transfer_async
+
+    warm_transfer_async()
+
     if bc.dtype == "int8":
         from modulationdetectioncnn_tpu.ops.infer import make_int8_forward_fn
 
@@ -61,11 +67,14 @@ def run(cfg=None, quiet: bool = False) -> dict:
     }
     if not quiet:
         print(json.dumps(result))
+        from modulationdetectioncnn_tpu.utils.profiler import roofline
+
         extra = {
             "dtype": bc.dtype,
             "batch": bc.batch_size,
             "frames_per_sec": round(frames_per_sec),
             "device": str(jax.devices()[0]),
+            **roofline(samples_per_sec).as_dict(),
         }
         print(json.dumps(extra), file=sys.stderr)
     return result

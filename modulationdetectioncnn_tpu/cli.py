@@ -44,32 +44,112 @@ def cmd_train(cfg: AmcConfig, snrs=None):
     return params, history, (xte, yte, ste), classes
 
 
-def cmd_eval(cfg: AmcConfig, out_path: str = "results.json"):
-    import jax.numpy as jnp
-
-    from modulationdetectioncnn_tpu.eval import harness
-    from modulationdetectioncnn_tpu.models import VTCNN2
-    from modulationdetectioncnn_tpu.train.loop import make_eval_step
+def _restore_params(cfg: AmcConfig):
     from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
 
     if not cfg.train.checkpoint_dir:
-        raise SystemExit("eval requires train.checkpoint_dir=<dir> with a checkpoint")
+        raise SystemExit("this command requires train.checkpoint_dir=<dir>")
     mgr = ckpt.make_manager(cfg.train.checkpoint_dir)
     restored = ckpt.restore(mgr)
     if restored is None:
         raise SystemExit(f"no checkpoint found in {cfg.train.checkpoint_dir}")
     params, _, step = restored
     log.info("restored checkpoint step %d", step)
+    return params
+
+
+def _make_predict_fn(cfg: AmcConfig, params=None):
+    """Prediction backend per cfg.eval.backend (SURVEY.md N19: the harness is
+    implementation-agnostic across flax/int8/golden)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulationdetectioncnn_tpu.models import VTCNN2
+
+    backend = cfg.eval.backend
+    if backend == "flax":
+        from modulationdetectioncnn_tpu.train.loop import make_eval_step
+
+        model = VTCNN2.from_config(cfg.model)
+        eval_step = make_eval_step(model)
+        return lambda xb: eval_step(params, jnp.asarray(xb))
+    if backend == "golden":
+        from modulationdetectioncnn_tpu.golden import cnn as gcnn
+
+        import numpy as np
+
+        p = jax.tree.map(np.asarray, params)
+        return lambda xb: gcnn.vtcnn2_predict(p, xb)
+    if backend == "int8":
+        from modulationdetectioncnn_tpu.ops.infer import make_int8_forward
+        from modulationdetectioncnn_tpu.train.quant import QuantizedModel
+        from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
+
+        if not cfg.eval.int8_artifact:
+            raise SystemExit("eval.backend=int8 requires eval.int8_artifact=<dir>")
+        qm = QuantizedModel.from_tree(ckpt.load_tree(cfg.eval.int8_artifact))
+        fwd = make_int8_forward(qm)
+
+        @jax.jit
+        def classify(xb):
+            return jnp.argmax(fwd(xb), axis=-1)
+
+        return lambda xb: classify(jnp.asarray(xb))
+    raise SystemExit(f"unknown eval.backend {backend!r}; use flax/int8/golden")
+
+
+def cmd_eval(cfg: AmcConfig):
+    from modulationdetectioncnn_tpu.eval import harness
+
+    params = _restore_params(cfg) if cfg.eval.backend != "int8" else None
+    predict = _make_predict_fn(cfg, params)
     x, y, s, classes = _build_dataset(cfg)
-    model = VTCNN2.from_config(cfg.model)
-    eval_step = make_eval_step(model)
     result = harness.snr_sweep(
-        lambda xb: eval_step(params, jnp.asarray(xb)), x, y, s, classes
+        predict, x, y, s, classes, batch_size=cfg.eval.batch_size
     )
-    harness.save_results(result, out_path)
+    harness.save_results(result, cfg.eval.results_path)
     print(harness.format_curve(result))
     print(json.dumps(result["headline"]))
     return result
+
+
+def cmd_quantize(cfg: AmcConfig, out_dir: str | None = None):
+    """PTQ: checkpoint -> int8 artifact + float-vs-int8 parity report."""
+    import jax
+
+    from modulationdetectioncnn_tpu.data import synthetic
+    from modulationdetectioncnn_tpu.golden import quant as gq
+    from modulationdetectioncnn_tpu.models import VTCNN2
+    from modulationdetectioncnn_tpu.train.quant import quantize
+    from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
+
+    params = _restore_params(cfg)
+    model = VTCNN2.from_config(cfg.model)
+    calib_x, _, _ = synthetic.make_dataset(
+        cfg.data,
+        frames_per_class_per_snr=max(
+            1, cfg.quant.calib_frames // (len(cfg.data.classes) * 3)
+        ),
+        snrs=[0, 10, 18],
+        seed=cfg.data.seed + 99,
+    )
+    qm = quantize(model, params, calib_x, percentile=cfg.quant.act_percentile)
+    out_dir = out_dir or (cfg.train.checkpoint_dir.rstrip("/") + "_int8")
+    ckpt.save_tree(out_dir, qm.tree())
+    # Parity check on a held-out slice (golden int8 vs float model).
+    import numpy as np
+
+    xs = calib_x[:1024]
+    pred_q = gq.int8_predict(qm, xs)
+    import jax.numpy as jnp
+
+    pred_f = np.asarray(
+        jax.jit(lambda xb: model.apply(params, xb).argmax(-1))(jnp.asarray(xs))
+    )
+    agree = float((pred_q == pred_f).mean())
+    log.info("int8 artifact saved to %s; int8-vs-float agreement %.4f", out_dir, agree)
+    print(json.dumps({"int8_artifact": out_dir, "agreement_vs_float": agree}))
+    return out_dir, agree
 
 
 def cmd_stream(cfg: AmcConfig):
@@ -90,8 +170,10 @@ def main(argv: list[str] | None = None):
         print(__doc__)
         return 0
     cmd, *overrides = argv
-    if cmd not in ("train", "eval", "stream", "bench"):
-        raise SystemExit(f"unknown command {cmd!r}; use train/eval/stream/bench")
+    if cmd not in ("train", "eval", "quantize", "stream", "bench"):
+        raise SystemExit(
+            f"unknown command {cmd!r}; use train/eval/quantize/stream/bench"
+        )
     try:
         cfg = apply_overrides(AmcConfig(), [o for o in overrides if "=" in o])
     except (KeyError, ValueError, TypeError) as e:
@@ -103,6 +185,8 @@ def main(argv: list[str] | None = None):
         cmd_train(cfg)
     elif cmd == "eval":
         cmd_eval(cfg)
+    elif cmd == "quantize":
+        cmd_quantize(cfg)
     elif cmd == "stream":
         cmd_stream(cfg)
     elif cmd == "bench":

@@ -109,6 +109,15 @@ class MeshConfig:
 
 
 @dataclass(frozen=True)
+class EvalConfig:
+    # 'flax' (bf16/f32 XLA), 'int8' (fused Pallas), 'golden' (NumPy oracle)
+    backend: str = "flax"
+    results_path: str = "results.json"
+    int8_artifact: str | None = None  # dir of a saved QuantizedModel tree
+    batch_size: int = 2048
+
+
+@dataclass(frozen=True)
 class BenchConfig:
     batch_size: int = 4096
     warmup_iters: int = 5
@@ -122,6 +131,7 @@ class AmcConfig:
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     quant: QuantConfig = field(default_factory=QuantConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
     stream: StreamConfig = field(default_factory=StreamConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     bench: BenchConfig = field(default_factory=BenchConfig)

@@ -34,8 +34,8 @@ def channelize(x: jnp.ndarray, h: np.ndarray, num_subbands: int) -> jnp.ndarray:
     assert t_len % m == 0, "stream length must be a multiple of num_subbands"
     n_blocks = t_len // m
     xp = x.reshape(x.shape[:-1] + (n_blocks, m))
-    # h_poly[t, p] = h[t*M + p]
-    h_poly = jnp.asarray(np.asarray(h, np.float32).reshape(taps, m))
+    # h_poly[t, p] = h[t*M + p]  (jnp so traced filters work under shard_map)
+    h_poly = jnp.asarray(h, jnp.float32).reshape(taps, m)
     # Causal FIR along the block axis, unrolled over taps (static):
     # v[n, p] = sum_t h_poly[t, p] * xp[n - t, p]
     pad = [(0, 0)] * (xp.ndim - 2) + [(taps - 1, 0), (0, 0)]

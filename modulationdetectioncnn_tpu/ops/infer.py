@@ -1,0 +1,311 @@
+"""Fused CNN inference kernels (SURVEY.md N8/N9, §6 roofline).
+
+The forward runs as TWO fused Pallas kernels (replacing the reference's
+per-layer HDL pipeline, SURVEY.md CS-2):
+
+- **conv stage**: conv1 (VPU shift-MACs, stacked layout) -> conv2
+  (tap-packed MXU matmul, K=512 N=240, + shift-add) in one program. The
+  (B, 126, 512) conv1 activation — the biggest tensor in the network —
+  never touches HBM. Output: (B, 124, 80) conv2 activations.
+- **dense stage**: dense1 + dense2 fused matmuls on the flattened (B, 9920)
+  activations (the flatten is a free HBM-level reshape between kernels;
+  in-kernel reshapes of non-lane-aligned minors don't lower in Mosaic —
+  verified on-TPU this session).
+
+The int8 path accumulates in int32 on the MXU and requantizes with the same
+fp32 affine as golden/quant.py (bit-exact int8 activations). Layouts shared
+with ops/cnn_kernels.py and golden/quant.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from modulationdetectioncnn_tpu.ops.cnn_kernels import (
+    conv1_accumulate,
+    pack_conv1_weights,
+    pack_conv2_weights,
+    requantize,
+)
+
+_LANES = 128
+
+
+def _pad_cols(a: np.ndarray, mult: int = _LANES) -> np.ndarray:
+    n = a.shape[-1]
+    pad = -(-n // mult) * mult - n
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    return np.pad(a, widths)
+
+
+def _shift_add(z, t2: int, c2: int):
+    """z (CH, t1, 3*c2) -> tap-sum (CH, t2, c2)."""
+    return (
+        z[:, 0:t2, 0:c2]
+        + z[:, 1 : t2 + 1, c2 : 2 * c2]
+        + z[:, 2 : t2 + 2, 2 * c2 : 3 * c2]
+    )
+
+
+# ------------------------------------------------------------------ bf16
+
+
+def _conv_stage_bf16_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *, chunk, t_in, c2
+):
+    tb = x_ref.shape[0]
+    t1, t2 = t_in - 2, t_in - 4
+    w1 = w1_ref[:].astype(jnp.float32)
+    b1d = b1_ref[:]  # (2C,) pre-duplicated on host: 1D in-kernel
+    # concatenate doesn't lower in Mosaic (verified on-TPU this session)
+    for ci in range(tb // chunk):
+        xs = x_ref[ci * chunk : (ci + 1) * chunk].astype(jnp.float32)
+        a1s = jnp.maximum(
+            conv1_accumulate(xs, w1, t1, jnp.float32) + b1d, 0.0
+        ).astype(jnp.bfloat16)
+        z = jax.lax.dot_general(
+            a1s.reshape(chunk * t1, a1s.shape[-1]),
+            w2_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(chunk, t1, 3 * c2)
+        out2 = _shift_add(z, t2, c2) + b2_ref[:][None, None, :]
+        o_ref[ci * chunk : (ci + 1) * chunk] = jnp.maximum(out2, 0.0).astype(
+            o_ref.dtype
+        )
+
+
+def _dense_stage_bf16_kernel(h_ref, w3_ref, b3_ref, w4_ref, b4_ref, o_ref):
+    d1 = jax.lax.dot_general(
+        h_ref[:], w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d1 = jnp.maximum(d1 + b3_ref[:], 0.0).astype(jnp.bfloat16)
+    logits = jax.lax.dot_general(
+        d1, w4_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = logits + b4_ref[:]
+
+
+def make_bf16_forward(params: Any, *, block_b: int = 128, chunk: int = 8,
+                      dense_block_b: int = 256, interpret: bool = False):
+    """Fused bf16 forward from Flax params: (B,2,T) f32 -> (B,NC) f32 logits.
+
+    B must be a multiple of max(block_b, dense_block_b).
+    """
+    p = jax.tree.map(np.asarray, params["params"] if "params" in params else params)
+    w1p = pack_conv1_weights(p["Conv1"]["kernel"]).astype(np.float32)
+    b1 = np.concatenate([p["Conv1"]["bias"]] * 2).astype(np.float32)
+    w2p = pack_conv2_weights(p["Conv2"]["kernel"]).astype(jnp.bfloat16)
+    b2 = p["Conv2"]["bias"].astype(np.float32)
+    w3 = p["Dense1"]["kernel"].astype(jnp.bfloat16)
+    b3 = p["Dense1"]["bias"].astype(np.float32)
+    w4 = _pad_cols(p["Dense2"]["kernel"]).astype(jnp.bfloat16)
+    b4 = _pad_cols(p["Dense2"]["bias"]).astype(np.float32)
+    c2 = b2.shape[0]
+    nc = p["Dense2"]["bias"].shape[0]
+    ncp = w4.shape[1]
+    conv_consts = [jnp.asarray(a) for a in (w1p, b1, w2p, b2)]
+    dense_consts = [jnp.asarray(a) for a in (w3, b3, w4, b4)]
+
+    @jax.jit
+    def forward(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t2 = t_in - 4
+        out2 = pl.pallas_call(
+            functools.partial(
+                _conv_stage_bf16_kernel, chunk=chunk, t_in=t_in, c2=c2
+            ),
+            grid=(b // block_b,),
+            in_specs=[
+                pl.BlockSpec((block_b, 2, t_in), lambda i: (i, 0, 0)),
+                pl.BlockSpec(w1p.shape, lambda i: (0, 0)),
+                pl.BlockSpec(b1.shape, lambda i: (0,)),
+                pl.BlockSpec(w2p.shape, lambda i: (0, 0)),
+                pl.BlockSpec(b2.shape, lambda i: (0,)),
+            ],
+            out_specs=pl.BlockSpec((block_b, t2, c2), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t2, c2), jnp.bfloat16),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * ((t_in - 2) * (6 * 256 + 512 * 3 * c2)),
+                bytes_accessed=b * (2 * t_in * 4 + t2 * c2 * 2) + 400_000,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x.astype(jnp.float32), *conv_consts)
+        h = out2.reshape(b, t2 * c2)  # free reshape in HBM
+        logits = pl.pallas_call(
+            _dense_stage_bf16_kernel,
+            grid=(b // dense_block_b,),
+            in_specs=[
+                pl.BlockSpec((dense_block_b, t2 * c2), lambda i: (i, 0)),
+                pl.BlockSpec(w3.shape, lambda i: (0, 0)),
+                pl.BlockSpec(b3.shape, lambda i: (0,)),
+                pl.BlockSpec(w4.shape, lambda i: (0, 0)),
+                pl.BlockSpec(b4.shape, lambda i: (0,)),
+            ],
+            out_specs=pl.BlockSpec((dense_block_b, ncp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, ncp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t2 * c2 * 256 + 256 * ncp),
+                bytes_accessed=b * (t2 * c2 * 2 + ncp * 4) + 5_200_000,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return logits[:b0, :nc]
+
+    return forward
+
+
+# ------------------------------------------------------------------ int8
+
+
+def _conv_stage_int8_kernel(
+    x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+    *, chunk, t_in, c2, inv_sx,
+):
+    tb = x_ref.shape[0]
+    t1, t2 = t_in - 2, t_in - 4
+    w1 = w1_ref[:].astype(jnp.int32)
+    for ci in range(tb // chunk):
+        xs = x_ref[ci * chunk : (ci + 1) * chunk].astype(jnp.float32)
+        x_i8 = jnp.clip(jnp.round(xs * inv_sx), -127.0, 127.0).astype(jnp.int32)
+        a1s = requantize(
+            conv1_accumulate(x_i8, w1, t1, jnp.int32), m1_ref[:], o1_ref[:],
+            relu=True,
+        )
+        z = jax.lax.dot_general(
+            a1s.reshape(chunk * t1, a1s.shape[-1]),
+            w2_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(chunk, t1, 3 * c2)
+        o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+            _shift_add(z, t2, c2), m2_ref[:], o2_ref[:], relu=True
+        )
+
+
+def _dense_stage_int8_kernel(
+    h_ref, w3_ref, m3_ref, o3_ref, w4_ref, s4_ref, b4_ref, o_ref
+):
+    acc3 = jax.lax.dot_general(
+        h_ref[:], w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    a3 = requantize(acc3, m3_ref[:], o3_ref[:], relu=True)
+    acc4 = jax.lax.dot_general(
+        a3, w4_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+
+
+def make_int8_forward(qm, *, block_b: int = 128, chunk: int = 16,
+                      dense_block_b: int = 256, interpret: bool = False):
+    """Fused int8 forward from a QuantizedModel: (B,2,T) f32 -> (B,NC) f32."""
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    w4 = _pad_cols(qm.w4)
+    s4 = _pad_cols(qm.s4)
+    b4 = _pad_cols(qm.b4)
+    ncp = w4.shape[1]
+    inv_sx = float(1.0 / qm.s_x)
+    conv_consts = [jnp.asarray(a) for a in (qm.w1p, qm.m1, qm.o1, qm.w2p,
+                                            qm.m2, qm.o2)]
+    dense_consts = [jnp.asarray(a) for a in (qm.w3, qm.m3, qm.o3, w4, s4, b4)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    @jax.jit
+    def forward(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t2 = t_in - 4
+        out2 = pl.pallas_call(
+            functools.partial(
+                _conv_stage_int8_kernel, chunk=chunk, t_in=t_in, c2=c2,
+                inv_sx=inv_sx,
+            ),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, 2, t_in), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t2, c2), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t2, c2), jnp.int8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * ((t_in - 2) * (6 * 256 + 512 * 3 * c2)),
+                bytes_accessed=b * (2 * t_in * 4 + t2 * c2) + 200_000,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(x.astype(jnp.float32), *conv_consts)
+        h = out2.reshape(b, t2 * c2)
+        logits = pl.pallas_call(
+            _dense_stage_int8_kernel,
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t2 * c2), lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, ncp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, ncp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t2 * c2 * 256 + 256 * ncp),
+                bytes_accessed=b * (t2 * c2 + ncp * 4) + 2_600_000,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return logits[:b0, :nc]
+
+    return forward
+
+
+# ------------------------------------------------------------- bench helper
+
+
+def make_int8_forward_fn(cfg, batch: int):
+    """Bench entry (bench.py): random-weight quantized model + random batch.
+
+    Returns (jitted argmax classifier, (x,)).
+    """
+    import jax.random as jr
+
+    from modulationdetectioncnn_tpu.models import VTCNN2
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    model = VTCNN2.from_config(cfg.model)
+    params = model.init(jr.key(0), jnp.zeros((2, 2, cfg.data.frame_len)))
+    rng = np.random.default_rng(0)
+    calib = rng.standard_normal((256, 2, cfg.data.frame_len)).astype(np.float32)
+    qm = quantize(model, params, calib)
+    fwd = make_int8_forward(qm)
+    x = jnp.asarray(
+        rng.standard_normal((batch, 2, cfg.data.frame_len)).astype(np.float32)
+    )
+
+    @jax.jit
+    def classify(xb):
+        return jnp.argmax(fwd(xb), axis=-1)
+
+    return classify, (x,)

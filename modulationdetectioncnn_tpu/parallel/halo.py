@@ -1,0 +1,127 @@
+"""Time-block sharded streaming with collective halo exchange (SURVEY.md N16).
+
+THE distinctive distributed feature (BASELINE.json:5: "sharding ...
+time-blocks, exchanging overlap-save boundary samples ... via ICI
+collectives"): the continuous IQ stream is split into P contiguous
+time-blocks over the mesh's ``time`` axis; each device needs the last
+``halo`` samples of its left neighbor as channelizer-FIR history, which move
+in ONE ``jax.lax.ppermute`` hop (neighbor-to-neighbor, contiguous — exactly
+what ICI rings are built for). This is the workload's analog of context/
+sequence parallelism (SURVEY.md §5 long-context row; ring attention does not
+apply — there is no attention, documented non-goal N17).
+
+Everything else (channelizer, framing, CNN) is embarrassingly local after
+the exchange, so scaling efficiency is bounded only by the halo/block ratio:
+halo = (taps-1)*M wideband samples vs block_len per device.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from modulationdetectioncnn_tpu.config import StreamConfig
+from modulationdetectioncnn_tpu.dsp import channelizer, framer, normalize
+from modulationdetectioncnn_tpu.dsp.pipeline import halo_wideband
+from modulationdetectioncnn_tpu.golden.dsp import design_prototype
+
+
+def left_halo_exchange(
+    x_local: jnp.ndarray, halo: int, axis_name: str
+) -> jnp.ndarray:
+    """Prepend each device's block with its left neighbor's last ``halo``
+    samples (zeros on device 0 — the stream has no history there).
+
+    x_local: (T_local,) on each device. Returns (halo + T_local,).
+    """
+    n_dev = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    tail = x_local[-halo:]
+    # Send my tail to my right neighbor (i -> i+1); receive from the left.
+    recv = jax.lax.ppermute(
+        tail, axis_name, [(i, i + 1) for i in range(n_dev - 1)]
+    )
+    recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    return jnp.concatenate([recv, x_local])
+
+
+def classify_stream_sharded(
+    x: jnp.ndarray,
+    predict_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    sc: StreamConfig,
+    mesh: Mesh,
+    h: np.ndarray | None = None,
+    time_axis: str = "time",
+) -> jnp.ndarray:
+    """Label-exact distributed version of pipeline.classify_stream_blocked.
+
+    x: (T,) wideband complex, T divisible by n_time_devices, and each
+    device's share divisible by M*frame_hop. Returns (M, F) labels.
+    """
+    h = h if h is not None else design_prototype(sc.num_subbands, sc.taps_per_branch)
+    m = sc.num_subbands
+    halo = halo_wideband(sc)
+    n_dev = mesh.shape[time_axis]
+    t_len = x.shape[-1]
+    assert t_len % n_dev == 0
+    t_local = t_len // n_dev
+    assert t_local % (m * sc.frame_hop) == 0, (
+        "per-device block must align to subband frames"
+    )
+    hj = jnp.asarray(np.asarray(h, np.float32))
+
+    def block_fn(x_loc, hh):
+        xb = left_halo_exchange(x_loc, halo, time_axis)  # (halo + T_local,)
+        sub = channelizer.channelize(xb, hh, m)  # ((halo+T_local)/M, M)
+        sub = framer.trim_halo(jnp.swapaxes(sub, -1, -2), halo // m)
+        fr = framer.frames_from_stream(sub, sc.frame_hop)  # (M, F_loc, 128)
+        fr = normalize.power_normalize(fr)
+        if sc.normalize_cfo:
+            fr = normalize.correct_cfo(fr, normalize.estimate_cfo(fr))
+        iq = framer.iq_frames(fr)
+        f_loc = iq.shape[1]
+        labels = predict_fn(iq.reshape(m * f_loc, 2, iq.shape[-1]))
+        return labels.reshape(m, f_loc)
+
+    spec_in = P(time_axis)
+    spec_out = P(None, time_axis)  # frame axis is time-ordered across devices
+    fn = shard_map(
+        block_fn,
+        mesh=mesh,
+        in_specs=(spec_in, P()),
+        out_specs=spec_out,
+        check_rep=False,
+    )
+    x = jax.device_put(x, NamedSharding(mesh, spec_in))
+    return jax.jit(fn)(x, hj)
+
+
+def time_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]).reshape(n), axis_names=("time",))
+
+
+def dryrun(mesh: Mesh | None = None) -> None:
+    """Driver smoke path (called from __graft_entry__.dryrun_multichip):
+    run the halo-exchange streaming classification on a time-axis mesh."""
+    devs = list(mesh.devices.flat) if mesh is not None else jax.devices()
+    tm = Mesh(np.asarray(devs).reshape(len(devs)), axis_names=("time",))
+    sc = StreamConfig(num_subbands=4, taps_per_branch=4, frame_hop=128)
+    t_len = len(devs) * 4 * 128 * 2
+    r = np.random.default_rng(0)
+    x = (r.standard_normal(t_len) + 1j * r.standard_normal(t_len)).astype(
+        np.complex64
+    )
+
+    def fake_predict(xb):  # stand-in classifier: cheap, deterministic
+        return jnp.argmax(jnp.sum(xb**2, axis=(-1,)), axis=-1)
+
+    labels = classify_stream_sharded(jnp.asarray(x), fake_predict, sc, tm)
+    jax.block_until_ready(labels)
+    assert labels.shape[0] == sc.num_subbands

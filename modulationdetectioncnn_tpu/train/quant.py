@@ -1,0 +1,140 @@
+"""Post-training int8 quantization (SURVEY.md N13, config 5).
+
+The TPU analog of the reference's float->fixed-point weight export
+(SURVEY.md §2a "Weight quantizer/exporter"): per-channel symmetric int8
+weights, per-tensor activation scales from percentile calibration, and the
+requantize affine (mult/offset per channel) precomputed so inference kernels
+only do  clip(round(acc * mult + offset)).
+
+The packed artifact (``QuantizedModel``) is a plain pytree — saved via
+utils/checkpoint.py::save_tree, the analog of the reference's ROM images.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from modulationdetectioncnn_tpu.ops.cnn_kernels import (
+    pack_conv1_weights,
+    pack_conv2_weights,
+)
+
+
+@dataclass
+class QuantizedModel:
+    """All arrays are NumPy; layouts match ops/cnn_kernels.py."""
+
+    s_x: np.ndarray          # () input scale
+    w1p: np.ndarray          # (3, C1) int8
+    m1: np.ndarray           # (2*C1,) f32 requant mult (stacked layout)
+    o1: np.ndarray           # (2*C1,) f32 requant offset
+    w2p: np.ndarray          # (2*C1, 3*C2) int8 tap-packed
+    m2: np.ndarray           # (C2,) f32
+    o2: np.ndarray           # (C2,) f32
+    w3: np.ndarray           # (T2*C2, D) int8
+    m3: np.ndarray           # (D,) f32
+    o3: np.ndarray           # (D,) f32
+    w4: np.ndarray           # (D, n_classes) int8
+    s4: np.ndarray           # (n_classes,) f32 dequant scale (s_a3 * s_w4)
+    b4: np.ndarray           # (n_classes,) f32
+
+    def tree(self) -> dict[str, Any]:
+        return {k: np.asarray(v) for k, v in self.__dict__.items()}
+
+    @classmethod
+    def from_tree(cls, t: dict[str, Any]) -> "QuantizedModel":
+        return cls(**{k: np.asarray(v) for k, v in t.items()})
+
+
+def _per_channel_scale(w: np.ndarray, reduce_axes: tuple[int, ...]) -> np.ndarray:
+    s = np.abs(w).max(axis=reduce_axes) / 127.0
+    return np.maximum(s, 1e-12)
+
+
+def _quant_w(w: np.ndarray, scale: np.ndarray, bcast) -> np.ndarray:
+    q = np.round(w / scale[bcast])
+    return np.clip(q, -127, 127).astype(np.int8)
+
+
+def calibrate_activations(
+    model, params, calib_x: np.ndarray, percentile: float = 99.99
+) -> dict[str, float]:
+    """Run the float model on calibration frames and extract activation
+    scales: input absmax and post-ReLU percentiles of conv1/conv2/dense1.
+
+    Percentiles are reduced ON DEVICE and only 3 scalars are fetched — the
+    full intermediates would be ~66 MB, a multi-minute transfer through this
+    environment's tunneled TPU (utils/device.py)."""
+
+    @jax.jit
+    def scales(xb):
+        _, inter = model.apply(params, xb, capture_intermediates=True)
+        inter = inter["intermediates"]
+        out = []
+        for layer in ("Conv1", "Conv2", "Dense1"):
+            pre = inter[layer]["__call__"][0].astype(jnp.float32)
+            out.append(jnp.percentile(jnp.maximum(pre, 0.0), percentile))
+        return jnp.stack(out)
+
+    a1, a2, a3 = np.asarray(scales(jnp.asarray(calib_x)))
+    return {
+        "s_x": float(np.abs(calib_x).max()) / 127.0,
+        "a1": float(a1) / 127.0,
+        "a2": float(a2) / 127.0,
+        "a3": float(a3) / 127.0,
+    }
+
+
+def quantize(model, params, calib_x: np.ndarray, percentile: float = 99.99) -> QuantizedModel:
+    """Float Flax params -> packed int8 deployment artifact."""
+    scales = calibrate_activations(model, params, calib_x, percentile)
+    p = jax.tree.map(np.asarray, params["params"])
+    s_x, s_a1, s_a2, s_a3 = (
+        scales["s_x"], scales["a1"], scales["a2"], scales["a3"],
+    )
+
+    # conv1: kernel (1,3,1,C1); per-out-channel scale.
+    w1 = p["Conv1"]["kernel"].astype(np.float64)
+    b1 = p["Conv1"]["bias"].astype(np.float64)
+    s_w1 = _per_channel_scale(w1, (0, 1, 2))
+    w1p = pack_conv1_weights(_quant_w(w1, s_w1, (None, None, None, slice(None))))
+    m1_half = (s_x * s_w1 / s_a1).astype(np.float32)
+    o1_half = (b1 / s_a1).astype(np.float32)
+    m1 = np.concatenate([m1_half, m1_half])
+    o1 = np.concatenate([o1_half, o1_half])
+
+    # conv2: kernel (2,3,C1,C2); scale per out-channel co (shared across taps
+    # so the int32 tap-sum stays in one unit).
+    w2 = p["Conv2"]["kernel"].astype(np.float64)
+    b2 = p["Conv2"]["bias"].astype(np.float64)
+    s_w2 = _per_channel_scale(w2, (0, 1, 2))
+    w2p = pack_conv2_weights(_quant_w(w2, s_w2, (None, None, None, slice(None))))
+    m2 = (s_a1 * s_w2 / s_a2).astype(np.float32)
+    o2 = (b2 / s_a2).astype(np.float32)
+
+    # dense1: (T2*C2, D)
+    w3 = p["Dense1"]["kernel"].astype(np.float64)
+    b3 = p["Dense1"]["bias"].astype(np.float64)
+    s_w3 = _per_channel_scale(w3, (0,))
+    w3q = _quant_w(w3, s_w3, (None, slice(None)))
+    m3 = (s_a2 * s_w3 / s_a3).astype(np.float32)
+    o3 = (b3 / s_a3).astype(np.float32)
+
+    # dense2: logits dequantized to f32 (argmax needs true affine).
+    w4 = p["Dense2"]["kernel"].astype(np.float64)
+    b4 = p["Dense2"]["bias"].astype(np.float64)
+    s_w4 = _per_channel_scale(w4, (0,))
+    w4q = _quant_w(w4, s_w4, (None, slice(None)))
+    s4 = (s_a3 * s_w4).astype(np.float32)
+
+    return QuantizedModel(
+        s_x=np.float32(s_x),
+        w1p=w1p, m1=m1, o1=o1,
+        w2p=w2p, m2=m2, o2=o2,
+        w3=w3q, m3=m3, o3=o3,
+        w4=w4q, s4=s4, b4=b4.astype(np.float32),
+    )
