@@ -18,7 +18,12 @@ def _requant(acc_i32: np.ndarray, mult: np.ndarray, offset: np.ndarray, relu=Tru
 
 
 def quantize_input(x: np.ndarray, s_x: float) -> np.ndarray:
-    return np.clip(np.round(x.astype(np.float32) / np.float32(s_x)), -127, 127).astype(
+    """The quantizer SPEC is multiply-by-f32-reciprocal (what the Pallas
+    kernels execute on the VPU), not divide — divide differs by 1 LSB at
+    round-boundary inputs (~1/65k frames), so golden must match the
+    deployed arithmetic exactly."""
+    inv = np.float32(1.0 / np.float64(np.float32(s_x)))
+    return np.clip(np.round(x.astype(np.float32) * inv), -127, 127).astype(
         np.int8
     )
 

@@ -281,6 +281,132 @@ def make_int8_forward(qm, *, block_b: int = 128, chunk: int = 16,
     return forward
 
 
+# --------------------------------------------------- v2: conv1 on the MXU
+#
+# The v1 conv stage computes conv1 as VPU broadcast-MACs; Mosaic lowers the
+# (B, T)-on-lanes -> (B, T, C)-T-on-sublanes broadcasts as lane-crossing
+# relayouts, which dominate the kernel (measured 7.5% int8 MXU utilization,
+# scripts/kbench.py). v2 removes conv1 from the VPU entirely:
+#
+# - XLA prologue builds the tap-stacked input  X6[b, t, h*3+k] = x[b, h, t+k]
+#   (a cheap fused gather on a tiny tensor), quantized to int8.
+# - In-kernel, conv1 becomes ONE small-K MXU matmul  (chunk*t1, 8) @ (8, 2C)
+#   against the block-diagonal expanded weight W1e[h*3+k, h*C+c] = w1[k, c],
+#   feeding the conv2 tap-packed matmul directly — both layers' MACs on the
+#   MXU, the VPU only does the requantize affines.
+#
+# Integer chain is unchanged (zero-padded K lanes add exact zeros), so v2 is
+# bit-exact vs golden/quant.py like v1.
+
+
+def expand_taps(x: jnp.ndarray, t1: int) -> jnp.ndarray:
+    """(B, 2, T) -> (B, t1, 8): [..., h*3+k] = x[:, h, t+k]; lanes 6,7 zero."""
+    cols = [x[:, h, k : k + t1] for h in range(2) for k in range(3)]
+    xe = jnp.stack(cols, axis=-1)
+    return jnp.pad(xe, [(0, 0), (0, 0), (0, 2)])
+
+
+def expand_conv1_weights(w1p: np.ndarray) -> np.ndarray:
+    """(3, C) tap weights -> (8, 2C) block-diagonal stacked-layout weights."""
+    w1p = np.asarray(w1p)
+    c = w1p.shape[1]
+    w = np.zeros((8, 2 * c), dtype=w1p.dtype)
+    for h in range(2):
+        for k in range(3):
+            w[h * 3 + k, h * c : (h + 1) * c] = w1p[k]
+    return w
+
+
+def _conv_stage_int8_v2_kernel(
+    xe_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+    *, chunk, t1, c2,
+):
+    tb = o_ref.shape[0]
+    t2 = t1 - 2
+    for ci in range(tb // chunk):
+        xe = xe_ref[ci * chunk * t1 : (ci + 1) * chunk * t1]  # (chunk*t1, 8)
+        a1 = jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)  # (chunk*t1, 2C)
+        z = jax.lax.dot_general(
+            a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(chunk, t1, 3 * c2)
+        o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+            _shift_add(z, t2, c2), m2_ref[:], o2_ref[:], relu=True
+        )
+
+
+def make_int8_forward_v2(qm, *, block_b: int = 128, chunk: int = 8,
+                         dense_block_b: int = 256, interpret: bool = False):
+    """v2 fused int8 forward (conv1 on the MXU): (B,2,T) f32 -> (B,NC) f32."""
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)  # (8, 2C) int8
+    w4 = _pad_cols(qm.w4)
+    s4 = _pad_cols(qm.s4)
+    b4 = _pad_cols(qm.b4)
+    ncp = w4.shape[1]
+    inv_sx = float(1.0 / qm.s_x)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, qm.w2p,
+                                            qm.m2, qm.o2)]
+    dense_consts = [jnp.asarray(a) for a in (qm.w3, qm.m3, qm.o3, w4, s4, b4)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    @jax.jit
+    def forward(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t1, t2 = t_in - 2, t_in - 4
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xe = expand_taps(x_i8, t1).reshape(b * t1, 8)
+        out2 = pl.pallas_call(
+            functools.partial(
+                _conv_stage_int8_v2_kernel, chunk=chunk, t1=t1, c2=c2
+            ),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b * t1, 8), lambda i: (i, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t2, c2), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t2, c2), jnp.int8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * t1 * (8 + 3 * c2) * 512,
+                bytes_accessed=b * (t1 * 8 + t2 * c2) + 200_000,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(xe, *conv_consts)
+        h = out2.reshape(b, t2 * c2)
+        logits = pl.pallas_call(
+            _dense_stage_int8_kernel,
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t2 * c2), lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, ncp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, ncp), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t2 * c2 * 256 + 256 * ncp),
+                bytes_accessed=b * (t2 * c2 + ncp * 4) + 2_600_000,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return logits[:b0, :nc]
+
+    return forward
+
+
 # ------------------------------------------------------------- bench helper
 
 
