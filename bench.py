@@ -50,12 +50,32 @@ def run(cfg=None, quiet: bool = False) -> dict:
         apply = jax.jit(lambda p, xb: model.apply(p, xb).argmax(-1))
         fwd, args = apply, (params, x)
 
-    # Overhead-cancelled timing (see utils/timing.py: block_until_ready does
-    # not actually block through the tunneled TPU platform).
-    from modulationdetectioncnn_tpu.utils.timing import measure_per_iter
+    # Chained in-program timing (utils/timing.py): each iteration's input
+    # carries a data dependency on the previous iteration's output, so the
+    # number is immune to cross-dispatch overlap in the runtime (observed on
+    # this tunneled platform: unchained back-to-back dispatches can read up
+    # to ~2x faster than physically possible — honesty beats flattery).
+    import jax.numpy as jnp
 
-    sec_per_iter = measure_per_iter(
-        fwd, args, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters
+    from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
+
+    (x0,) = args if len(args) == 1 else (args[-1],)
+
+    if len(args) == 1:
+        def body(xc):
+            out = fwd(xc)
+            probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
+            return xc + probe * jnp.float32(1e-38)
+    else:
+        fixed = args[:-1]
+
+        def body(xc):
+            out = fwd(*fixed, xc)
+            probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
+            return xc + probe * jnp.float32(1e-38)
+
+    sec_per_iter = measure_per_iter_chained(
+        body, x0, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters
     )
     frames_per_sec = bc.batch_size / sec_per_iter
     samples_per_sec = frames_per_sec * frame_len

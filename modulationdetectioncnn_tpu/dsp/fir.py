@@ -61,16 +61,34 @@ def _from_iq(xiq: jnp.ndarray) -> jnp.ndarray:
     return (xiq[..., 0, :] + 1j * xiq[..., 1, :]).astype(jnp.complex64)
 
 
-def fir_filter(x: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:
-    """Causal FIR, output length == input length. x: (..., T) complex."""
+def fir_filter_iq(xiq: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:
+    """Causal FIR on I/Q planes, output length == input length.
+
+    xiq: (..., 2, T) float32 — the device-side representation (complex
+    dtypes never reach the TPU; see dsp/channelizer.py).
+    """
     hj = jnp.asarray(h, jnp.float32)
-    return _from_iq(_conv_iq(_to_iq(x), hj, up=1, down=1))
+    return _conv_iq(xiq, hj, up=1, down=1)
+
+
+def fir_resample_iq(
+    xiq: jnp.ndarray, h: np.ndarray, up: int, down: int
+) -> jnp.ndarray:
+    """Rational up/down resampling on I/Q planes (..., 2, T). Output length
+    ceil(T*up/down), matching the golden (full conv truncated to T*up, then
+    ::down)."""
+    hj = jnp.asarray(h, jnp.float32)
+    y = _conv_iq(xiq, hj, up=up, down=down)
+    out_len = -(-xiq.shape[-1] * up // down)  # ceil
+    return y[..., :out_len]
+
+
+def fir_filter(x: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:
+    """Complex-array convenience wrapper (HOST/CPU only — .real/.imag are
+    complex HLOs this TPU backend rejects). x: (..., T) complex."""
+    return _from_iq(fir_filter_iq(_to_iq(x), h))
 
 
 def fir_resample(x: jnp.ndarray, h: np.ndarray, up: int, down: int) -> jnp.ndarray:
-    """Rational up/down resampling. Output length: ceil(T*up/down) matching
-    the golden (full conv truncated to T*up, then ::down)."""
-    hj = jnp.asarray(h, jnp.float32)
-    y = _from_iq(_conv_iq(_to_iq(x), hj, up=up, down=down))
-    out_len = -(-x.shape[-1] * up // down)  # ceil
-    return y[..., :out_len]
+    """Complex-array convenience wrapper (HOST/CPU only)."""
+    return _from_iq(fir_resample_iq(_to_iq(x), h, up, down))

@@ -13,16 +13,21 @@ import jax.numpy as jnp
 
 
 def overlap_save_blocks(x: jnp.ndarray, block_len: int, halo: int) -> jnp.ndarray:
-    """(T,) -> (ceil(T/B), halo + B). Zero left-history for block 0; final
-    partial block zero-padded on the right. Matches golden/dsp.py exactly."""
+    """(..., T) -> (..., ceil(T/B), halo + B). Zero left-history for block 0;
+    final partial block zero-padded on the right. Matches golden/dsp.py
+    exactly. Leading axes (e.g. the (2,) I/Q plane axis) pass through."""
     t_len = x.shape[-1]
     n_blocks = -(-t_len // block_len)
     pad_right = n_blocks * block_len - t_len
-    padded = jnp.pad(x, [(halo, pad_right)])
+    pad = [(0, 0)] * (x.ndim - 1) + [(halo, pad_right)]
+    padded = jnp.pad(x, pad)
     starts = jnp.arange(n_blocks) * block_len
-    return jax.vmap(
-        lambda s: jax.lax.dynamic_slice(padded, (s,), (halo + block_len,))
+    blocks = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(
+            padded, s, halo + block_len, axis=-1
+        )
     )(starts)
+    return jnp.moveaxis(blocks, 0, -2)
 
 
 def trim_halo(blocks: jnp.ndarray, halo: int) -> jnp.ndarray:
@@ -58,5 +63,27 @@ def frames_from_stream(
 
 
 def iq_frames(frames: jnp.ndarray) -> jnp.ndarray:
-    """Complex frames (..., N, T) -> float32 (..., N, 2, T) CNN input."""
+    """Complex frames (..., N, T) -> float32 (..., N, 2, T) CNN input.
+
+    HOST-SIDE ONLY: complex dtypes never reach the TPU (see channelizer.py);
+    use to_planes at the host->device boundary, then stay in planes.
+    """
     return jnp.stack([frames.real, frames.imag], axis=-2).astype(jnp.float32)
+
+
+def to_planes(x) -> jnp.ndarray:
+    """Complex (..., T) -> I/Q planes (..., 2, T) float32 (host boundary)."""
+    import numpy as np
+
+    x = np.asarray(x)
+    return jnp.asarray(
+        np.stack([x.real, x.imag], axis=-2).astype(np.float32)
+    )
+
+
+def from_planes(xiq) -> "np.ndarray":
+    """I/Q planes (..., 2, T) -> complex64 (..., T) (host-side, for tests)."""
+    import numpy as np
+
+    xiq = np.asarray(xiq)
+    return (xiq[..., 0, :] + 1j * xiq[..., 1, :]).astype(np.complex64)

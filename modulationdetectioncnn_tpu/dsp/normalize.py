@@ -3,22 +3,65 @@
 Classical DSP, pure jnp, fully batched and shape-static so it fuses under
 jit: CFO estimate via FFT-of-x^4 (collapses PSK modulation; BASELINE.json:5
 "carrier/timing normalization on raw IQ"), parabolic peak interpolation,
-Oerder&Meyr square-law timing. Golden: golden/dsp.py.
+Oerder&Meyr square-law timing. Golden: golden/dsp.py (complex NumPy).
+
+All device functions use the real I/Q-plane convention ``(..., 2, T)``
+float32 (see dsp/channelizer.py: this TPU backend has no complex support,
+and plane arithmetic is the TPU-native form anyway). The padded DFT inside
+``estimate_cfo`` is two (T, n) real matmuls on the MXU instead of an FFT —
+for T=128, n=512 that is ~0.26 MMACs/frame, noise next to the CNN's 18M.
 """
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
+
+
+def _cmul(ar, ai, br, bi):
+    """Complex multiply on planes: (ar+i*ai)*(br+i*bi)."""
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+@functools.lru_cache(maxsize=16)
+def _padded_dft_matrices(t: int, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """cos/sin of the (T, n) padded-DFT matrix: F[t, f] = exp(-2pi*i*t*f/n)."""
+    tf = np.outer(np.arange(t), np.arange(n)).astype(np.float64)
+    ang = -2.0 * np.pi * tf / n
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
 def estimate_cfo(x: jnp.ndarray, order: int = 4, pad_factor: int = 4) -> jnp.ndarray:
-    """CFO in cycles/sample for each frame. x: (..., T) complex -> (...)."""
-    xo = x.astype(jnp.complex64) ** order
-    n = x.shape[-1] * pad_factor
-    spec = jnp.abs(jnp.fft.fft(xo, n=n, axis=-1))
-    k = jnp.argmax(spec, axis=-1)
-    alpha = jnp.take_along_axis(spec, ((k - 1) % n)[..., None], -1)[..., 0]
-    beta = jnp.take_along_axis(spec, k[..., None], -1)[..., 0]
-    gamma = jnp.take_along_axis(spec, ((k + 1) % n)[..., None], -1)[..., 0]
+    """CFO in cycles/sample for each frame. x: (..., 2, T) f32 -> (...)."""
+    xr, xi = x[..., 0, :].astype(jnp.float32), x[..., 1, :].astype(jnp.float32)
+    # x**order via repeated squaring on planes (order is a small static int).
+    pr, pi = jnp.ones_like(xr), jnp.zeros_like(xi)
+    br, bi = xr, xi
+    o = order
+    while o > 0:
+        if o & 1:
+            pr, pi = _cmul(pr, pi, br, bi)
+        o >>= 1
+        if o:
+            br, bi = _cmul(br, bi, br, bi)
+    t = x.shape[-1]
+    n = t * pad_factor
+    cos_m, sin_m = (jnp.asarray(a) for a in _padded_dft_matrices(t, n))
+    # Z = sum_t p[t] * exp(-2pi*i*t*f/n), with cos_m/sin_m already holding
+    # cos/sin of the NEGATIVE angle: Z = (pr + i*pi) * (cos_m + i*sin_m).
+    zr = pr @ cos_m - pi @ sin_m
+    zi = pi @ cos_m + pr @ sin_m
+    spec2 = zr * zr + zi * zi  # |Z|^2: same argmax as |Z|
+    k = jnp.argmax(spec2, axis=-1)
+    # Parabolic interpolation needs |Z| (not |Z|^2) at k-1, k, k+1 to match
+    # the golden's magnitude-domain parabola.
+    def mag_at(idx):
+        return jnp.sqrt(
+            jnp.take_along_axis(spec2, (idx % n)[..., None], -1)[..., 0]
+        )
+
+    alpha, beta, gamma = mag_at(k - 1), mag_at(k), mag_at(k + 1)
     denom = alpha - 2 * beta + gamma
     delta = jnp.where(
         jnp.abs(denom) > 1e-30, 0.5 * (alpha - gamma) / denom, 0.0
@@ -29,22 +72,38 @@ def estimate_cfo(x: jnp.ndarray, order: int = 4, pad_factor: int = 4) -> jnp.nda
 
 
 def correct_cfo(x: jnp.ndarray, cfo: jnp.ndarray) -> jnp.ndarray:
-    """Remove the estimated CFO. cfo broadcasts over leading axes of x."""
-    n = jnp.arange(x.shape[-1])
-    rot = jnp.exp(-2j * jnp.pi * cfo[..., None] * n)
-    return (x * rot).astype(jnp.complex64)
+    """Remove the estimated CFO: x * exp(-2pi*i*cfo*t) on planes.
+
+    cfo broadcasts over the leading axes of x (..., 2, T).
+    """
+    t = jnp.arange(x.shape[-1], dtype=jnp.float32)
+    ang = -2.0 * jnp.pi * cfo[..., None] * t
+    c, s = jnp.cos(ang), jnp.sin(ang)
+    xr, xi = x[..., 0, :], x[..., 1, :]
+    yr, yi = _cmul(xr, xi, c, s)
+    return jnp.stack([yr, yi], axis=-2).astype(jnp.float32)
 
 
 def estimate_timing(x: jnp.ndarray, sps: int) -> jnp.ndarray:
-    """Oerder&Meyr symbol-timing estimate in samples, range [0, sps)."""
-    e = jnp.abs(x.astype(jnp.complex64)) ** 2
-    n = jnp.arange(x.shape[-1])
-    c = jnp.sum(e * jnp.exp(-2j * jnp.pi * n / sps), axis=-1)
-    tau = (-jnp.angle(c) / (2 * jnp.pi)) * sps
+    """Oerder&Meyr symbol-timing estimate in samples, range [0, sps).
+
+    x: (..., 2, T) f32 -> (...).
+    """
+    e = x[..., 0, :] ** 2 + x[..., 1, :] ** 2
+    t = jnp.arange(x.shape[-1], dtype=jnp.float32)
+    ang = -2.0 * jnp.pi * t / sps
+    cr = jnp.sum(e * jnp.cos(ang), axis=-1)
+    ci = jnp.sum(e * jnp.sin(ang), axis=-1)
+    tau = (-jnp.arctan2(ci, cr) / (2 * jnp.pi)) * sps
     return tau % sps
 
 
 def power_normalize(x: jnp.ndarray) -> jnp.ndarray:
-    """Unit average power per frame (last axis)."""
-    p = jnp.mean(jnp.abs(x) ** 2, axis=-1, keepdims=True) + 1e-30
-    return (x / jnp.sqrt(p)).astype(x.dtype)
+    """Unit average power per frame. x: (..., 2, T) f32 (power over both
+    planes and time, i.e. mean |x|^2 of the complex frame)."""
+    p = jnp.mean(
+        jnp.sum(x.astype(jnp.float32) ** 2, axis=-2, keepdims=True),
+        axis=-1,
+        keepdims=True,
+    ) + 1e-30
+    return (x / jnp.sqrt(p)).astype(jnp.float32)

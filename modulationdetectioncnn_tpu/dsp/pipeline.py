@@ -34,15 +34,18 @@ def halo_wideband(sc: StreamConfig) -> int:
 def subband_frames(
     x: jnp.ndarray, h: np.ndarray, sc: StreamConfig
 ) -> jnp.ndarray:
-    """Wideband (..., T) complex -> (..., M, F, 2, 128) normalized IQ frames."""
-    sub = channelizer.channelize(x, h, sc.num_subbands)  # (..., T/M, M)
-    sub = jnp.swapaxes(sub, -1, -2)  # (..., M, T/M)
-    fr = framer.frames_from_stream(sub, sc.frame_hop)  # (..., M, F, 128)
+    """Wideband I/Q planes (..., 2, T) -> (..., M, F, 2, 128) normalized IQ
+    frames. Complex-free: plane-DFT channelizer + plane normalization (see
+    dsp/channelizer.py — this TPU backend has no complex support)."""
+    sub = channelizer.channelize(x, h, sc.num_subbands)  # (..., 2, T/M, M)
+    sub = jnp.moveaxis(sub, -1, -3)  # (..., M, 2, T/M)
+    fr = framer.frames_from_stream(sub, sc.frame_hop)  # (..., M, 2, F, 128)
+    fr = jnp.swapaxes(fr, -2, -3)  # (..., M, F, 2, 128)
     fr = normalize.power_normalize(fr)
     if sc.normalize_cfo:
         cfo = normalize.estimate_cfo(fr)
         fr = normalize.correct_cfo(fr, cfo)
-    return framer.iq_frames(fr)
+    return fr
 
 
 def classify_stream(
@@ -52,7 +55,8 @@ def classify_stream(
     h: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Classify every subband frame of a wideband stream at once (the
-    'batch' reference for the streamed path). Returns (M, F) int labels."""
+    'batch' reference for the streamed path). x: (2, T) I/Q planes.
+    Returns (M, F) int labels."""
     h = h if h is not None else design_prototype(sc.num_subbands, sc.taps_per_branch)
     iq = subband_frames(x, h, sc)  # (M, F, 2, 128)
     m, f = iq.shape[0], iq.shape[1]
@@ -67,8 +71,8 @@ def classify_stream_blocked(
     h: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Streamed classification via overlap-save blocks; label-exact vs
-    classify_stream. Block length must be a multiple of M*frame_hop so frame
-    boundaries align across blocks."""
+    classify_stream. x: (2, T) I/Q planes. Block length must be a multiple
+    of M*frame_hop so frame boundaries align across blocks."""
     h = h if h is not None else design_prototype(sc.num_subbands, sc.taps_per_branch)
     m = sc.num_subbands
     block = sc.block_len
@@ -76,16 +80,18 @@ def classify_stream_blocked(
     halo = halo_wideband(sc)
     t_len = x.shape[-1]
     n_blocks = -(-t_len // block)
-    blocks = framer.overlap_save_blocks(x, block, halo)  # (n_blocks, halo+block)
-    sub = channelizer.channelize(blocks, h, m)  # (n_blocks, (halo+block)/M, M)
-    sub = framer.trim_halo(jnp.swapaxes(sub, -1, -2), halo // m)  # (nb, M, block/M)
-    fr = framer.frames_from_stream(sub, sc.frame_hop)  # (nb, M, F_b, 128)
+    # (2, nb, halo+block) -> (nb, 2, halo+block)
+    blocks = jnp.swapaxes(framer.overlap_save_blocks(x, block, halo), 0, 1)
+    sub = channelizer.channelize(blocks, h, m)  # (nb, 2, (halo+block)/M, M)
+    sub = jnp.moveaxis(sub, -1, -3)  # (nb, M, 2, (halo+block)/M)
+    sub = framer.trim_halo(sub, halo // m)  # (nb, M, 2, block/M)
+    fr = framer.frames_from_stream(sub, sc.frame_hop)  # (nb, M, 2, F_b, 128)
+    fr = jnp.swapaxes(fr, -2, -3)  # (nb, M, F_b, 2, 128)
     fr = normalize.power_normalize(fr)
     if sc.normalize_cfo:
         fr = normalize.correct_cfo(fr, normalize.estimate_cfo(fr))
-    iq = framer.iq_frames(fr)
-    nb, _, fb = iq.shape[:3]
-    labels = predict_fn(iq.reshape(nb * m * fb, 2, iq.shape[-1]))
+    nb, _, fb = fr.shape[:3]
+    labels = predict_fn(fr.reshape(nb * m * fb, 2, fr.shape[-1]))
     labels = labels.reshape(nb, m, fb)
     # (nb, M, F_b) -> (M, nb*F_b), dropping frames past the true stream end.
     labels = jnp.swapaxes(labels, 0, 1).reshape(m, nb * fb)
@@ -129,19 +135,14 @@ def run_stream_demo(cfg: AmcConfig):
     # demo use an untrained model (labels meaningless) unless a checkpoint
     # is configured — throughput/occupancy reporting is the point here.
     predict = _make_predictor(cfg)
+    wide_iq = framer.to_planes(wide)  # host boundary: complex -> (2, T) f32
     t0 = time.time()
-    labels = np.asarray(
-        classify_stream_blocked(jnp.asarray(wide), predict, sc)
-    )
+    labels = np.asarray(classify_stream_blocked(wide_iq, predict, sc))
     dt = time.time() - t0
-    power = np.asarray(
-        jnp.mean(
-            jnp.abs(channelizer.channelize(
-                jnp.asarray(wide), design_prototype(m, sc.taps_per_branch), m
-            )) ** 2,
-            axis=0,
-        )
-    )
+    sub = channelizer.channelize(
+        wide_iq, design_prototype(m, sc.taps_per_branch), m
+    )  # (2, T/M, M)
+    power = np.asarray(jnp.mean(sub[0] ** 2 + sub[1] ** 2, axis=0))
     print("subband  power     top-label")
     for k in range(m):
         from collections import Counter

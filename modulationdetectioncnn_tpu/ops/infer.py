@@ -425,7 +425,7 @@ def make_int8_forward_fn(cfg, batch: int):
     rng = np.random.default_rng(0)
     calib = rng.standard_normal((256, 2, cfg.data.frame_len)).astype(np.float32)
     qm = quantize(model, params, calib)
-    fwd = make_int8_forward(qm)
+    fwd = make_int8_forward_v2(qm)
     x = jnp.asarray(
         rng.standard_normal((batch, 2, cfg.data.frame_len)).astype(np.float32)
     )

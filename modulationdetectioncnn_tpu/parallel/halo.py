@@ -37,17 +37,18 @@ def left_halo_exchange(
     """Prepend each device's block with its left neighbor's last ``halo``
     samples (zeros on device 0 — the stream has no history there).
 
-    x_local: (T_local,) on each device. Returns (halo + T_local,).
+    x_local: (..., T_local) on each device (e.g. (2, T_local) I/Q planes).
+    Returns (..., halo + T_local).
     """
     n_dev = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    tail = x_local[-halo:]
+    tail = x_local[..., -halo:]
     # Send my tail to my right neighbor (i -> i+1); receive from the left.
     recv = jax.lax.ppermute(
         tail, axis_name, [(i, i + 1) for i in range(n_dev - 1)]
     )
     recv = jnp.where(idx == 0, jnp.zeros_like(recv), recv)
-    return jnp.concatenate([recv, x_local])
+    return jnp.concatenate([recv, x_local], axis=-1)
 
 
 def classify_stream_sharded(
@@ -60,8 +61,9 @@ def classify_stream_sharded(
 ) -> jnp.ndarray:
     """Label-exact distributed version of pipeline.classify_stream_blocked.
 
-    x: (T,) wideband complex, T divisible by n_time_devices, and each
-    device's share divisible by M*frame_hop. Returns (M, F) labels.
+    x: (2, T) wideband I/Q planes (complex never reaches the device — see
+    dsp/channelizer.py), T divisible by n_time_devices, and each device's
+    share divisible by M*frame_hop. Returns (M, F) labels.
     """
     h = h if h is not None else design_prototype(sc.num_subbands, sc.taps_per_branch)
     m = sc.num_subbands
@@ -76,19 +78,20 @@ def classify_stream_sharded(
     hj = jnp.asarray(np.asarray(h, np.float32))
 
     def block_fn(x_loc, hh):
-        xb = left_halo_exchange(x_loc, halo, time_axis)  # (halo + T_local,)
-        sub = channelizer.channelize(xb, hh, m)  # ((halo+T_local)/M, M)
-        sub = framer.trim_halo(jnp.swapaxes(sub, -1, -2), halo // m)
-        fr = framer.frames_from_stream(sub, sc.frame_hop)  # (M, F_loc, 128)
+        xb = left_halo_exchange(x_loc, halo, time_axis)  # (2, halo+T_local)
+        sub = channelizer.channelize(xb, hh, m)  # (2, (halo+T_local)/M, M)
+        sub = jnp.moveaxis(sub, -1, -3)  # (M, 2, (halo+T_local)/M)
+        sub = framer.trim_halo(sub, halo // m)  # (M, 2, T_local/M)
+        fr = framer.frames_from_stream(sub, sc.frame_hop)  # (M, 2, F_loc, 128)
+        fr = jnp.swapaxes(fr, -2, -3)  # (M, F_loc, 2, 128)
         fr = normalize.power_normalize(fr)
         if sc.normalize_cfo:
             fr = normalize.correct_cfo(fr, normalize.estimate_cfo(fr))
-        iq = framer.iq_frames(fr)
-        f_loc = iq.shape[1]
-        labels = predict_fn(iq.reshape(m * f_loc, 2, iq.shape[-1]))
+        f_loc = fr.shape[1]
+        labels = predict_fn(fr.reshape(m * f_loc, 2, fr.shape[-1]))
         return labels.reshape(m, f_loc)
 
-    spec_in = P(time_axis)
+    spec_in = P(None, time_axis)  # planes replicated-dim, time sharded
     spec_out = P(None, time_axis)  # frame axis is time-ordered across devices
     fn = shard_map(
         block_fn,
@@ -115,9 +118,7 @@ def dryrun(mesh: Mesh | None = None) -> None:
     sc = StreamConfig(num_subbands=4, taps_per_branch=4, frame_hop=128)
     t_len = len(devs) * 4 * 128 * 2
     r = np.random.default_rng(0)
-    x = (r.standard_normal(t_len) + 1j * r.standard_normal(t_len)).astype(
-        np.complex64
-    )
+    x = r.standard_normal((2, t_len)).astype(np.float32)  # I/Q planes
 
     def fake_predict(xb):  # stand-in classifier: cheap, deterministic
         return jnp.argmax(jnp.sum(xb**2, axis=(-1,)), axis=-1)

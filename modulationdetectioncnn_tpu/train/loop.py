@@ -113,17 +113,59 @@ class JsonlLogger:
             self.f.close()
 
 
+def make_device_train_step(model: VTCNN2, tx: optax.GradientTransformation,
+                           batch_size: int):
+    """Device-resident-data train step (SURVEY.md §6 'production' path).
+
+    The whole training split lives in HBM (220k RadioML frames = ~180 MB,
+    1.1% of a v5e's 16 GB); each step draws a uniform random batch with an
+    on-device gather instead of a host->device copy. Removes the per-step
+    host transfer that otherwise dominates (measured 8k samples/s through
+    this environment's tunnel vs ~1M samples/s device-resident)."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, data_x, data_y, step_key):
+        idx_key, dropout_key = jax.random.split(step_key)
+        idx = jax.random.randint(
+            idx_key, (batch_size,), 0, data_x.shape[0]
+        )
+        x = jnp.take(data_x, idx, axis=0)
+        y = jnp.take(data_y, idx, axis=0)
+
+        def loss_fn(p):
+            logits = model.apply(
+                p, x, train=True, rngs={"dropout": dropout_key}
+            )
+            return cross_entropy(logits, y), logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        acc = (logits.argmax(-1) == y).mean()
+        return params, opt_state, loss, acc
+
+    return train_step
+
+
 def train(
     cfg: AmcConfig,
     train_data: tuple[np.ndarray, np.ndarray],
     eval_data: tuple[np.ndarray, np.ndarray] | None = None,
     mesh: Mesh | None = None,
     callbacks: Any = None,
+    device_data: bool = True,
 ):
-    """Run the full training loop; returns (params, metrics_history)."""
+    """Run the full training loop; returns (params, metrics_history).
+
+    device_data=True (default) keeps the whole training split in HBM and
+    samples batches on-device (uniform with replacement — at RadioML scale
+    statistically equivalent to epoch shuffling); False streams shuffled
+    host batches (the path used when the dataset exceeds HBM)."""
     tc = cfg.train
     model = VTCNN2.from_config(cfg.model)
     mesh = mesh or make_mesh()
+    if mesh.devices.size > 1:
+        device_data = False  # multi-device DP uses the host batch path
 
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, tc.learning_rate, tc.warmup_steps, tc.num_steps
@@ -139,9 +181,15 @@ def train(
     params = jax.device_put(params, rep)
     opt_state = jax.device_put(tx.init(params), rep)
 
-    train_step = make_train_step(model, tx)
     eval_step = make_eval_step(model)
-    batches = batch_iterator(*train_data, tc.batch_size, tc.seed)
+    if device_data:
+        train_step = make_device_train_step(model, tx, tc.batch_size)
+        data_x = jax.device_put(jnp.asarray(train_data[0], jnp.float32))
+        data_y = jax.device_put(jnp.asarray(train_data[1], jnp.int32))
+        batches = None
+    else:
+        train_step = make_train_step(model, tx)
+        batches = batch_iterator(*train_data, tc.batch_size, tc.seed)
     jlog = JsonlLogger(tc.log_jsonl)
 
     ckpt_mgr = None
@@ -155,9 +203,16 @@ def train(
     samples_done = 0
     with mesh:
         for step in range(1, tc.num_steps + 1):
-            batch = shard_batch(next(batches), mesh)
             key, dk = jax.random.split(key)
-            params, opt_state, loss, acc = train_step(params, opt_state, batch, dk)
+            if device_data:
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, data_x, data_y, dk
+                )
+            else:
+                batch = shard_batch(next(batches), mesh)
+                params, opt_state, loss, acc = train_step(
+                    params, opt_state, batch, dk
+                )
             samples_done += tc.batch_size
             if step % tc.eval_every == 0 or step == tc.num_steps:
                 loss_v, acc_v = float(loss), float(acc)

@@ -40,6 +40,49 @@ def make_sync(out_example: Any) -> Callable[[Any], float]:
     return sync
 
 
+def measure_per_iter_chained(
+    body: Callable[[Any], Any],
+    carry0: Any,
+    n1: int = 4,
+    n2: int = 20,
+) -> float:
+    """Seconds per ``body`` application, serialized INSIDE one program.
+
+    ``body(carry) -> carry`` is iterated with ``jax.lax.fori_loop`` so every
+    iteration depends on the previous one — immune to any cross-dispatch
+    overlap/reordering in the runtime (observed on this tunneled platform:
+    unchained back-to-back dispatches can measure up to ~2x faster than
+    physically possible). Timing still uses the two-length difference so the
+    dispatch+sync constant cancels.
+    """
+
+    def make_f(n: int):
+        @jax.jit
+        def f(c):
+            return jax.lax.fori_loop(0, n, lambda i, cc: body(cc), c)
+
+        out = f(carry0)
+        sync = make_sync(out)
+        sync(out)  # compile + warm
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            sync(f(carry0))
+            return time.perf_counter() - t0
+
+        return run
+
+    run1, run2 = make_f(n1), make_f(n2)
+    # Interleave and keep the per-pair minimum: RPC jitter on this tunneled
+    # platform is large compared to µs-scale kernels, so n1/n2 must be big
+    # enough that (T2 - T1) is tens of milliseconds.
+    best = float("inf")
+    for _ in range(3):
+        t1, t2 = run1(), run2()
+        best = min(best, (t2 - t1) / (n2 - n1))
+    return best
+
+
 def measure_per_iter(
     fn: Callable,
     args: tuple,

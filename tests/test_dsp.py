@@ -1,9 +1,15 @@
-"""Golden (NumPy) vs JAX DSP front-end parity (SURVEY.md §4b, N4-N7)."""
+"""Golden (NumPy) vs JAX DSP front-end parity (SURVEY.md §4b, N4-N7).
+
+The device-side DSP API is real I/Q planes (..., 2, T) float32 — complex
+dtypes never reach the TPU (dsp/channelizer.py). Tests drive the plane API
+(what ships) and compare against the complex NumPy golden via to_planes.
+"""
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from modulationdetectioncnn_tpu.dsp import channelizer, fir, framer, normalize
+from modulationdetectioncnn_tpu.dsp.framer import from_planes, to_planes
 from modulationdetectioncnn_tpu.golden import dsp as gold
 
 
@@ -21,12 +27,29 @@ def stream(rng=None):
     return x.astype(np.complex64)
 
 
+def _planes(x_complex: np.ndarray) -> np.ndarray:
+    return np.stack([x_complex.real, x_complex.imag], axis=-2).astype(
+        np.float32
+    )
+
+
 def test_channelizer_matches_golden(stream):
     m, taps = 16, 8
     h = gold.design_prototype(m, taps)
     want = gold.pfb_channelize(stream.astype(np.complex128), h, m)
-    got = np.asarray(channelizer.channelize(jnp.asarray(stream), h, m))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    got = np.asarray(channelizer.channelize(to_planes(stream), h, m))
+    assert got.shape == (2, len(stream) // m, m)
+    np.testing.assert_allclose(got[0], want.real, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[1], want.imag, rtol=2e-4, atol=2e-4)
+
+
+def test_dft_iq_matches_numpy_fft():
+    r = np.random.default_rng(2)
+    v = r.standard_normal((2, 64, 16)).astype(np.float32)
+    got = np.asarray(channelizer.dft_iq(jnp.asarray(v)))
+    want = np.fft.fft(v[0] + 1j * v[1], axis=-1)
+    np.testing.assert_allclose(got[0], want.real, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got[1], want.imag, rtol=2e-5, atol=2e-5)
 
 
 def test_channelizer_isolates_tone():
@@ -36,8 +59,8 @@ def test_channelizer_isolates_tone():
     t = np.arange(2048)
     k_target = 3
     x = np.exp(2j * np.pi * (k_target / m) * t).astype(np.complex64)
-    y = np.asarray(channelizer.channelize(jnp.asarray(x), h, m))
-    power = (np.abs(y[taps:]) ** 2).mean(axis=0)  # skip filter ramp-in
+    y = np.asarray(channelizer.channelize(to_planes(x), h, m))
+    power = (y[0] ** 2 + y[1] ** 2)[taps:].mean(axis=0)  # skip ramp-in
     assert power.argmax() == k_target
     assert power[k_target] > 50 * (power.sum() - power[k_target])
 
@@ -45,17 +68,20 @@ def test_channelizer_isolates_tone():
 def test_fir_filter_matches_golden(stream):
     h = gold.design_prototype(4, 8)  # any real FIR works here
     want = gold.fir_filter(stream, h)
-    got = np.asarray(fir.fir_filter(jnp.asarray(stream), h))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    got = np.asarray(fir.fir_filter_iq(to_planes(stream), h))
+    np.testing.assert_allclose(got, _planes(want), rtol=2e-4, atol=2e-4)
+    # complex host-side wrapper agrees
+    got_c = np.asarray(fir.fir_filter(jnp.asarray(stream), h))
+    np.testing.assert_allclose(got_c, want, rtol=2e-4, atol=2e-4)
 
 
 @pytest.mark.parametrize("up,down", [(1, 2), (2, 1), (3, 2), (2, 3)])
 def test_fir_resample_matches_golden(stream, up, down):
     h = fir.design_lowpass(33, 0.5 / max(up, down) * 0.8)
     want = gold.fir_resample(stream, h, up, down)
-    got = np.asarray(fir.fir_resample(jnp.asarray(stream), h, up, down))
-    assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+    got = np.asarray(fir.fir_resample_iq(to_planes(stream), h, up, down))
+    assert got.shape == _planes(want).shape
+    np.testing.assert_allclose(got, _planes(want), rtol=3e-4, atol=3e-4)
 
 
 def test_cfo_estimate_and_correct():
@@ -69,10 +95,10 @@ def test_cfo_estimate_and_correct():
         np.complex64
     )
     want = gold.estimate_cfo(x)
-    got = float(normalize.estimate_cfo(jnp.asarray(x)))
+    got = float(normalize.estimate_cfo(to_planes(x)))
     assert abs(want - true_cfo) < 2e-4
     assert abs(got - want) < 5e-5
-    fixed = np.asarray(normalize.correct_cfo(jnp.asarray(x), jnp.float32(got)))
+    fixed = from_planes(normalize.correct_cfo(to_planes(x), jnp.float32(got)))
     resid = gold.estimate_cfo(fixed)
     assert abs(resid) < 2e-4
 
@@ -87,25 +113,44 @@ def test_timing_estimate_matches_golden():
     up[::sps] = syms
     x = np.convolve(up, rrc_filter(0.35, sps, 6))[: len(up)].astype(np.complex64)
     want = gold.estimate_timing(x, sps)
-    got = float(normalize.estimate_timing(jnp.asarray(x), sps))
+    got = float(normalize.estimate_timing(to_planes(x), sps))
     assert abs(got - want) < 1e-3 * sps
+
+
+def test_power_normalize_planes():
+    r = np.random.default_rng(17)
+    x = (r.standard_normal((5, 128)) + 1j * r.standard_normal((5, 128))) * 3.0
+    got = np.asarray(normalize.power_normalize(to_planes(x)))
+    p = (got**2).sum(axis=-2).mean(axis=-1)
+    np.testing.assert_allclose(p, 1.0, rtol=1e-5)
+    want = np.stack([gold.power_normalize(f) for f in x])
+    np.testing.assert_allclose(from_planes(got), want, rtol=1e-4, atol=1e-4)
 
 
 def test_overlap_save_blocks_match_golden(stream):
     blocks_g = gold.overlap_save_blocks(stream, block_len=512, halo=64)
     blocks_j = np.asarray(framer.overlap_save_blocks(jnp.asarray(stream), 512, 64))
     np.testing.assert_array_equal(blocks_j, blocks_g)
+    # plane form: leading (2,) axis passes through
+    blocks_p = np.asarray(
+        framer.overlap_save_blocks(to_planes(stream), 512, 64)
+    )
+    assert blocks_p.shape == (2, blocks_g.shape[0], blocks_g.shape[1])
+    np.testing.assert_allclose(blocks_p[0], blocks_g.real, rtol=1e-6)
 
 
 def test_overlap_save_filter_streamed_equals_batch(stream):
     """The §4b exact-match invariant, at the FIR level (fp32)."""
     h = fir.design_lowpass(33, 0.2)
-    batch = np.asarray(fir.fir_filter(jnp.asarray(stream), h))
+    batch = np.asarray(fir.fir_filter_iq(to_planes(stream), h))
     halo = len(h) - 1
-    blocks = framer.overlap_save_blocks(jnp.asarray(stream), 512, halo)
-    filtered = fir.fir_filter(blocks, h)
+    blocks = framer.overlap_save_blocks(to_planes(stream), 512, halo)
+    # (2, nb, halo+B) -> (nb, 2, halo+B) so the FIR sees (..., 2, T)
+    filtered = fir.fir_filter_iq(jnp.swapaxes(blocks, 0, 1), h)
     streamed = np.asarray(
-        framer.concat_blocks(framer.trim_halo(filtered, halo), len(stream))
+        framer.concat_blocks(
+            jnp.swapaxes(framer.trim_halo(filtered, halo), 0, 1), len(stream)
+        )
     )
     np.testing.assert_allclose(streamed, batch, rtol=1e-5, atol=1e-5)
 

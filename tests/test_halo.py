@@ -34,15 +34,15 @@ def _predictor():
 @pytest.mark.parametrize("n_dev", [2, 4, 8])
 def test_sharded_equals_single_device(n_dev):
     """Halo exchange yields identical labels vs the unsharded path."""
+    from modulationdetectioncnn_tpu.dsp.framer import to_planes
+
     sc = StreamConfig(num_subbands=8, taps_per_branch=8, block_len=8 * 128)
     t_local = 8 * 128 * 2
-    x = _wideband(n_dev * t_local)
+    x = to_planes(_wideband(n_dev * t_local))
     predict = _predictor()
     mesh = Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev), ("time",))
-    got = np.asarray(
-        halo.classify_stream_sharded(jnp.asarray(x), predict, sc, mesh)
-    )
-    want = np.asarray(pipeline.classify_stream(jnp.asarray(x), predict, sc))
+    got = np.asarray(halo.classify_stream_sharded(x, predict, sc, mesh))
+    want = np.asarray(pipeline.classify_stream(x, predict, sc))
     assert got.shape[0] == 8
     f = got.shape[1]
     np.testing.assert_array_equal(got, want[:, :f])

@@ -43,3 +43,38 @@ def test_fused_int8_matches_golden_exactly(setup):
     assert got.shape == (16, 11)
     # Integer path is deterministic; fp32 dequant of identical int32 logits.
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_int8_v2_matches_golden_exactly(setup):
+    """v2 (conv1 on the MXU via tap-stacked input) is the same integer chain."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(np.float32)
+    qm = quantize(model, params, calib)
+    fwd = infer.make_int8_forward_v2(qm, block_b=8, chunk=4, interpret=True)
+    got = np.asarray(fwd(jnp.asarray(x)))
+    want = gq.int8_forward(qm, x)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_expand_taps_layout():
+    """X6[b, t, h*3+k] == x[b, h, t+k]; lanes 6,7 zero."""
+    r = np.random.default_rng(3)
+    x = r.integers(-127, 127, (2, 2, 16)).astype(np.int8)
+    xe = np.asarray(infer.expand_taps(jnp.asarray(x), 14))
+    assert xe.shape == (2, 14, 8)
+    for h in range(2):
+        for k in range(3):
+            np.testing.assert_array_equal(xe[:, :, h * 3 + k], x[:, h, k : k + 14])
+    assert (xe[..., 6:] == 0).all()
+
+
+def test_expand_conv1_weights_blockdiag():
+    w = np.arange(3 * 4, dtype=np.int8).reshape(3, 4)
+    we = infer.expand_conv1_weights(w)
+    assert we.shape == (8, 8)
+    for h in range(2):
+        for k in range(3):
+            np.testing.assert_array_equal(we[h * 3 + k, h * 4 : (h + 1) * 4], w[k])
+    assert we.sum() == 2 * w.sum()

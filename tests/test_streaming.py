@@ -33,14 +33,14 @@ def _predictor(num_classes=11):
 
 
 def test_streamed_equals_batch_labels():
+    from modulationdetectioncnn_tpu.dsp.framer import to_planes
+
     sc = StreamConfig(num_subbands=8, taps_per_branch=8, block_len=8 * 128 * 2)
     t_len = sc.block_len * 3 + sc.block_len // 2  # non-multiple: ragged tail
-    x = _wideband(t_len)
+    x = to_planes(_wideband(t_len))
     predict = _predictor()
-    batch = np.asarray(pipeline.classify_stream(jnp.asarray(x), predict, sc))
-    streamed = np.asarray(
-        pipeline.classify_stream_blocked(jnp.asarray(x), predict, sc)
-    )
+    batch = np.asarray(pipeline.classify_stream(x, predict, sc))
+    streamed = np.asarray(pipeline.classify_stream_blocked(x, predict, sc))
     assert streamed.shape[0] == 8
     # Exact agreement frame-for-frame (SURVEY.md §4b "exact-prediction match")
     f = streamed.shape[1]
@@ -50,8 +50,10 @@ def test_streamed_equals_batch_labels():
 
 
 def test_subband_frames_shapes():
+    from modulationdetectioncnn_tpu.dsp.framer import to_planes
+
     sc = StreamConfig(num_subbands=8, taps_per_branch=8)
-    x = jnp.asarray(_wideband(8 * 128 * 4))
+    x = to_planes(_wideband(8 * 128 * 4))
     h = design_prototype(8, 8)
     iq = pipeline.subband_frames(x, h, sc)
     assert iq.shape == (8, 4, 2, 128)

@@ -54,7 +54,9 @@ def test_train_dp_matches_more_devices_seeded():
     x, y, _ = _tiny_data(cfg)
     mesh1 = loop.make_mesh(1)
     mesh8 = loop.make_mesh(8)
-    p1, h1 = loop.train(cfg, (x, y), mesh=mesh1)
+    # device_data=False on the 1-device mesh so both runs draw the SAME
+    # host-shuffled batch sequence (the device path samples differently).
+    p1, h1 = loop.train(cfg, (x, y), mesh=mesh1, device_data=False)
     p8, h8 = loop.train(cfg, (x, y), mesh=mesh8)
     # Same seed + same data order -> identical math up to reduction order.
     l1 = jax.tree.leaves(p1)
@@ -63,6 +65,18 @@ def test_train_dp_matches_more_devices_seeded():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-2, atol=5e-3
         )
+
+
+def test_train_device_resident_data():
+    """The HBM-resident data path (default on one chip) trains equivalently."""
+    from modulationdetectioncnn_tpu.train import loop
+
+    cfg = _tiny_cfg()
+    x, y, _ = _tiny_data(cfg)
+    mesh1 = loop.make_mesh(1)
+    params, history = loop.train(cfg, (x, y), mesh=mesh1, device_data=True)
+    assert history[0]["loss"] > history[-1]["loss"]
+    assert history[-1]["train_acc"] > 0.7
 
 
 def test_snr_sweep_harness():
