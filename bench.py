@@ -31,6 +31,8 @@ def run(cfg=None, quiet: bool = False) -> dict:
 
     warm_transfer_async()
 
+    if bc.mode == "stream":
+        return run_stream_bench(cfg, quiet=quiet)
     if bc.dtype == "int8":
         from modulationdetectioncnn_tpu.ops.infer import make_int8_forward_fn
 
@@ -100,13 +102,73 @@ def run(cfg=None, quiet: bool = False) -> dict:
     return result
 
 
+def run_stream_bench(cfg, quiet: bool = False) -> dict:
+    """Config-4 number: the FULL chain (channelize -> normalize -> frame ->
+    int8 CNN) on continuous wideband IQ, samples/s/chip, chained timing."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from modulationdetectioncnn_tpu.dsp.pipeline import subband_frames
+    from modulationdetectioncnn_tpu.golden.dsp import design_prototype
+    from modulationdetectioncnn_tpu.ops.infer import make_int8_forward_fn
+    from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
+
+    sc = cfg.stream
+    m = sc.num_subbands
+    # Size the wideband block so the CNN sees ~bench.batch_size frames/iter.
+    t_len = cfg.bench.batch_size * cfg.data.frame_len  # total samples/iter
+    t_len = (t_len // (m * sc.frame_hop)) * (m * sc.frame_hop)
+    h = design_prototype(m, sc.taps_per_branch)
+    hj = jnp.asarray(np.asarray(h, np.float32))
+    classify, _ = make_int8_forward_fn(cfg, batch=cfg.bench.batch_size)
+    n_frames = (t_len // m // sc.frame_hop) * m
+
+    @jax.jit
+    def chain(xiq):
+        fr = subband_frames(xiq, hj, sc)  # (M, F, 2, 128)
+        mm, ff = fr.shape[0], fr.shape[1]
+        labels = classify(fr.reshape(mm * ff, 2, fr.shape[-1]))
+        return labels
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((2, t_len)).astype(np.float32))
+
+    def body(xc):
+        labels = chain(xc)
+        probe = labels.ravel()[0].astype(jnp.float32)
+        return xc + probe * jnp.float32(1e-38)
+
+    sec = measure_per_iter_chained(
+        body, x0, n1=cfg.bench.warmup_iters,
+        n2=cfg.bench.warmup_iters + cfg.bench.timed_iters,
+    )
+    samples_per_sec = t_len / sec
+    result = {
+        "metric": "streamed_iq_samples_per_sec_per_chip",
+        "value": round(samples_per_sec),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 4),
+    }
+    if not quiet:
+        print(json.dumps(result))
+        extra = {
+            "mode": "stream", "subbands": m, "block_samples": t_len,
+            "frames_per_iter": n_frames,
+        }
+        print(json.dumps(extra), file=sys.stderr)
+    return result
+
+
 if __name__ == "__main__":
-    dtype = sys.argv[1] if len(sys.argv) > 1 else None
+    arg = sys.argv[1] if len(sys.argv) > 1 else None
     from modulationdetectioncnn_tpu.config import AmcConfig, apply_overrides
 
     cfg = AmcConfig()
-    if dtype:
-        cfg = apply_overrides(cfg, [f"bench.dtype={dtype}"])
+    if arg == "stream":
+        cfg = apply_overrides(cfg, ["bench.mode=stream"])
+    elif arg:
+        cfg = apply_overrides(cfg, [f"bench.dtype={arg}"])
     try:
         run(cfg)
     except Exception:

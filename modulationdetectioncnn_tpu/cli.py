@@ -1,4 +1,5 @@
-"""CLI entry points (SURVEY.md T5): train / eval / stream / bench.
+"""CLI entry points (SURVEY.md T5): train / eval / quantize / qat / stream /
+bench / scaling.
 
 Replaces the reference's host feeder demo app (SURVEY.md §2a L4 [ARCHETYPE]).
 Usage:  python -m modulationdetectioncnn_tpu <cmd> [key=value ...]
@@ -164,15 +165,60 @@ def cmd_bench(cfg: AmcConfig):
     return bench_mod.run(cfg)
 
 
+def cmd_scaling(cfg: AmcConfig):
+    """Scaling-efficiency report: measured 1-chip rate + audited projection."""
+    from modulationdetectioncnn_tpu.eval.scaling import scaling_report
+
+    import bench as bench_mod
+
+    rate = bench_mod.run(cfg, quiet=True)["value"]
+    report = scaling_report(cfg, measured_chip_rate=float(rate))
+    print(json.dumps(report, indent=1))
+    return report
+
+
+def cmd_qat(cfg: AmcConfig):
+    """QAT fine-tune from the float checkpoint, then re-export int8."""
+    from modulationdetectioncnn_tpu.data import synthetic
+    from modulationdetectioncnn_tpu.train.qat import finetune_qat
+    from modulationdetectioncnn_tpu.train.quant import calibrate_activations
+    from modulationdetectioncnn_tpu.models import VTCNN2
+    from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
+
+    params = _restore_params(cfg)
+    model = VTCNN2.from_config(cfg.model)
+    x, y, _, _ = _build_dataset(cfg)
+    calib = x[:: max(1, len(x) // cfg.quant.calib_frames)]
+    scales = calibrate_activations(
+        model, params, calib, cfg.quant.act_percentile
+    )
+    tuned = finetune_qat(
+        params, scales, x, y,
+        num_steps=cfg.train.num_steps, batch_size=cfg.train.batch_size,
+        learning_rate=cfg.train.learning_rate, seed=cfg.train.seed,
+        dropout_rate=cfg.model.dropout_rate,
+    )
+    out_dir = cfg.train.checkpoint_dir.rstrip("/") + "_qat"
+    mgr = ckpt.make_manager(out_dir)
+    import optax
+
+    ckpt.save(mgr, 0, tuned, optax.adam(1e-4).init(tuned))
+    mgr.wait_until_finished()
+    log.info("QAT-tuned checkpoint saved to %s", out_dir)
+    print(json.dumps({"qat_checkpoint": out_dir}))
+    return out_dir
+
+
 def main(argv: list[str] | None = None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
     cmd, *overrides = argv
-    if cmd not in ("train", "eval", "quantize", "stream", "bench"):
+    commands = ("train", "eval", "quantize", "qat", "stream", "bench", "scaling")
+    if cmd not in commands:
         raise SystemExit(
-            f"unknown command {cmd!r}; use train/eval/quantize/stream/bench"
+            f"unknown command {cmd!r}; use {'/'.join(commands)}"
         )
     try:
         cfg = apply_overrides(AmcConfig(), [o for o in overrides if "=" in o])
@@ -187,10 +233,14 @@ def main(argv: list[str] | None = None):
         cmd_eval(cfg)
     elif cmd == "quantize":
         cmd_quantize(cfg)
+    elif cmd == "qat":
+        cmd_qat(cfg)
     elif cmd == "stream":
         cmd_stream(cfg)
     elif cmd == "bench":
         cmd_bench(cfg)
+    elif cmd == "scaling":
+        cmd_scaling(cfg)
     return 0
 
 

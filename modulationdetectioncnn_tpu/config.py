@@ -123,6 +123,9 @@ class BenchConfig:
     warmup_iters: int = 5
     timed_iters: int = 20
     dtype: str = "int8"               # headline path (SURVEY.md §6 roofline)
+    # 'cnn' = classifier only (frames in HBM); 'stream' = full DSP chain
+    # (channelize + normalize + frame + classify) on continuous wideband IQ.
+    mode: str = "cnn"
 
 
 @dataclass(frozen=True)

@@ -12,9 +12,14 @@ import numpy as np
 
 
 def _requant(acc_i32: np.ndarray, mult: np.ndarray, offset: np.ndarray, relu=True):
+    """relu=True spec is round-half-up via floor(x+0.5) == truncating int8
+    convert of clip(x+0.5, 0, 127) — matches ops/cnn_kernels.py::requantize
+    (which drops the explicit round() VPU pass). Keep in lockstep."""
+    if relu:
+        v = acc_i32.astype(np.float32) * mult + (offset + np.float32(0.5))
+        return np.clip(v, 0.0, 127.0).astype(np.int8)
     v = np.round(acc_i32.astype(np.float32) * mult + offset)
-    lo = 0.0 if relu else -127.0
-    return np.clip(v, lo, 127.0).astype(np.int8)
+    return np.clip(v, -127.0, 127.0).astype(np.int8)
 
 
 def quantize_input(x: np.ndarray, s_x: float) -> np.ndarray:

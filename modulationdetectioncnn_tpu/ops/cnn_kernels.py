@@ -179,13 +179,22 @@ def conv2_stacked(
 
 
 def requantize(acc, mult, offset, *, relu: bool = True):
-    """Per-channel fp32 affine int32 -> int8: clip(round(acc*mult + offset)).
+    """Per-channel fp32 affine int32 -> int8.
 
-    ReLU folds into the lower clip bound (post-relu activations are stored
-    as non-negative int8 in [0, 127])."""
+    relu=True (the whole hot chain): spec is ROUND-HALF-UP via
+    clip(acc*mult + offset + 0.5, 0, 127) then a truncating convert —
+    trunc == floor on [0, 128), and floor(x+0.5) == round-half-up. This
+    saves one full VPU pass over the layer activation vs an explicit
+    round() (the requant of conv1's (B,126,512) output is the single
+    largest VPU cost in the fused kernel). ReLU folds into the 0 clip.
+    relu=False: classic round-half-even + symmetric clip (off the hot path).
+    Golden twin: golden/quant.py::_requant — keep in lockstep.
+    """
+    if relu:
+        v = acc.astype(jnp.float32) * mult + (offset + 0.5)
+        return jnp.clip(v, 0.0, 127.0).astype(jnp.int8)
     v = jnp.round(acc.astype(jnp.float32) * mult + offset)
-    lo = 0.0 if relu else -127.0
-    return jnp.clip(v, lo, 127.0).astype(jnp.int8)
+    return jnp.clip(v, -127.0, 127.0).astype(jnp.int8)
 
 
 # ---------------------------------------------------------------- conv1 int8

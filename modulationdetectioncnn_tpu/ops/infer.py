@@ -325,6 +325,8 @@ def _conv_stage_int8_v2_kernel(
     t2 = t1 - 2
     for ci in range(tb // chunk):
         xe = xe_ref[ci * chunk * t1 : (ci + 1) * chunk * t1]  # (chunk*t1, 8)
+        # (int8 matmul must accumulate int32 — Mosaic rejects a float acc
+        # with int operands; the i32->f32 convert happens in requantize.)
         a1 = jax.lax.dot_general(
             xe, w1_ref[:], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
@@ -339,7 +341,7 @@ def _conv_stage_int8_v2_kernel(
         )
 
 
-def make_int8_forward_v2(qm, *, block_b: int = 128, chunk: int = 8,
+def make_int8_forward_v2(qm, *, block_b: int = 64, chunk: int = 16,
                          dense_block_b: int = 256, interpret: bool = False):
     """v2 fused int8 forward (conv1 on the MXU): (B,2,T) f32 -> (B,NC) f32."""
     c2 = qm.m2.shape[0]
@@ -384,6 +386,9 @@ def make_int8_forward_v2(qm, *, block_b: int = 128, chunk: int = 8,
                 flops=2 * b * t1 * (8 + 3 * c2) * 512,
                 bytes_accessed=b * (t1 * 8 + t2 * c2) + 200_000,
                 transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
             ),
             interpret=interpret,
         )(xe, *conv_consts)
