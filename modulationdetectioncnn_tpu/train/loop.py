@@ -193,16 +193,31 @@ def train(
     jlog = JsonlLogger(tc.log_jsonl)
 
     ckpt_mgr = None
+    start_step = 0
     if tc.checkpoint_dir:
         from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
 
         ckpt_mgr = ckpt.make_manager(tc.checkpoint_dir)
+        restored = ckpt.restore(
+            ckpt_mgr, params_like=params,
+            opt_state_like=jax.tree.map(np.asarray, opt_state),
+        )
+        if restored is not None:
+            # Resume (SURVEY.md §5 failure-recovery row): params + opt state
+            # + step come back from the last checkpoint; the PRNG key is
+            # re-derived by folding in the step so the batch/dropout stream
+            # continues deterministically-but-differently from a cold start.
+            r_params, r_opt, start_step = restored
+            params = jax.device_put(r_params, rep)
+            opt_state = jax.device_put(r_opt, rep)
+            key = jax.random.fold_in(jax.random.key(tc.seed), start_step)
+            log.info("resumed from checkpoint step %d", start_step)
 
     history = []
     t_start = time.time()
     samples_done = 0
     with mesh:
-        for step in range(1, tc.num_steps + 1):
+        for step in range(start_step + 1, tc.num_steps + 1):
             key, dk = jax.random.split(key)
             if device_data:
                 params, opt_state, loss, acc = train_step(

@@ -31,16 +31,26 @@ def save(mgr: ocp.CheckpointManager, step: int, params: Any, opt_state: Any):
     )
 
 
-def restore(mgr: ocp.CheckpointManager, step: int | None = None):
-    """Restore (params, opt_state, step). step=None -> latest."""
+def restore(
+    mgr: ocp.CheckpointManager,
+    step: int | None = None,
+    params_like: Any | None = None,
+    opt_state_like: Any | None = None,
+):
+    """Restore (params, opt_state, step). step=None -> latest.
+
+    Pass ``opt_state_like`` (e.g. ``tx.init(params)``) to get the optimizer
+    state back as its original optax NamedTuple structure — without a
+    template Orbax returns plain nested dicts, which optax rejects.
+    """
     step = step if step is not None else mgr.latest_step()
     if step is None:
         return None
     restored = mgr.restore(
         step,
         args=ocp.args.Composite(
-            params=ocp.args.StandardRestore(),
-            opt_state=ocp.args.StandardRestore(),
+            params=ocp.args.StandardRestore(params_like),
+            opt_state=ocp.args.StandardRestore(opt_state_like),
         ),
     )
     return restored["params"], restored["opt_state"], step

@@ -20,7 +20,7 @@ from modulationdetectioncnn_tpu.config import AmcConfig
 from modulationdetectioncnn_tpu.models import VTCNN2
 from modulationdetectioncnn_tpu.train.quant import quantize
 from modulationdetectioncnn_tpu.ops.infer import (
-    make_bf16_forward, make_int8_forward_v2,
+    make_bf16_forward, make_bf16_forward_v2, make_int8_forward_v2,
 )
 from modulationdetectioncnn_tpu.ops.infer_xla import make_int8_forward_xla
 
@@ -55,6 +55,8 @@ if "xla_int8" in which:
     run("xla_int8", make_int8_forward_xla(qm))
 if "pallas_bf16" in which:
     run("pallas_bf16", make_bf16_forward(params))
+if "pallas_bf16_v2" in which:
+    run("pallas_bf16_v2", make_bf16_forward_v2(params))
 if "pallas_int8" in which:
     run("pallas_int8", make_int8_forward_v2(qm))
 if "xla_bf16" in which:

@@ -31,6 +31,18 @@ def test_fused_bf16_matches_golden(setup):
     assert (got.argmax(-1) == want.argmax(-1)).mean() >= 0.8
 
 
+def test_fused_bf16_v2_matches_golden(setup):
+    """v2 bf16 (conv1 on MXU, bias in K-lane 6) within bf16 tolerance."""
+    _, params, x = setup
+    fwd = infer.make_bf16_forward_v2(
+        params, block_b=8, chunk=4, dense_block_b=16, interpret=True
+    )
+    got = np.asarray(fwd(jnp.asarray(x)))
+    want = gcnn.vtcnn2_forward(params, x)
+    assert got.shape == (16, 11)
+    assert np.max(np.abs(got - want)) < 5e-2
+
+
 def test_fused_int8_matches_golden_exactly(setup):
     model, params, x = setup
     from modulationdetectioncnn_tpu.train.quant import quantize

@@ -79,6 +79,33 @@ def test_train_device_resident_data():
     assert history[-1]["train_acc"] > 0.7
 
 
+def test_train_resume_from_checkpoint(tmp_path):
+    """Interrupted training resumes at the saved step (SURVEY.md §5)."""
+    from modulationdetectioncnn_tpu.train import loop
+
+    ckdir = str(tmp_path / "ck")
+    cfg = _tiny_cfg(**{
+        "train.num_steps": "60",
+        "train.checkpoint_dir": ckdir,
+        "train.checkpoint_every": "30",
+        "train.eval_every": "30",
+    })
+    x, y, _ = _tiny_data(cfg, n=64)
+    mesh = loop.make_mesh(1)
+    # "crash" after 30 steps
+    cfg30 = _tiny_cfg(**{
+        "train.num_steps": "30",
+        "train.checkpoint_dir": ckdir,
+        "train.checkpoint_every": "30",
+        "train.eval_every": "30",
+    })
+    loop.train(cfg30, (x, y), mesh=mesh)
+    # restart with the full budget: must resume at 31, not 1
+    params, history = loop.train(cfg, (x, y), mesh=mesh)
+    steps = [h["step"] for h in history]
+    assert steps and min(steps) > 30 and max(steps) == 60
+
+
 def test_snr_sweep_harness():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((100, 2, 128)).astype(np.float32)
