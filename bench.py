@@ -1,8 +1,11 @@
 """Benchmark harness (SURVEY.md N20): classified IQ samples/s/chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is measured-value / 1e9 (the BASELINE.json:5 target of 1 GS/s
-classified IQ per v5e chip). Run on the real chip:  python bench.py
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "backend",
+"fallback"} where vs_baseline is measured-value / 1e9 (the BASELINE.json:5
+target of 1 GS/s classified IQ per v5e chip) and "backend" names the code
+path actually measured (no silent substitution — if the requested backend
+fails, the fallback is stamped with fallback=true and the error goes to
+stderr). Run on the real chip:  python bench.py [backend|stream]
 """
 from __future__ import annotations
 
@@ -13,17 +16,103 @@ sys.path.insert(0, "/root/repo")
 
 TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 
+# Verified code paths, fastest-first preference for the headline number.
+BACKENDS = ("pallas_int8", "pallas_bf16", "xla_bf16", "xla_int8")
 
-def run(cfg=None, quiet: bool = False) -> dict:
+
+def make_classifier(cfg, backend: str, batch: int):
+    """(jitted argmax classifier, input batch) for a named backend.
+
+    Weights are random-initialized (+PTQ for int8 paths) — throughput is
+    weight-value-independent; accuracy is judged separately (eval/harness).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    frame_len = cfg.data.frame_len
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.standard_normal((batch, 2, frame_len)).astype(np.float32)
+    )
+
+    if backend.startswith("xla_bf16"):
+        from modulationdetectioncnn_tpu.models import VTCNN2
+
+        model = VTCNN2.from_config(cfg.model)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((2, 2, frame_len), jnp.float32)
+        )
+        classify = jax.jit(lambda xb: model.apply(params, xb).argmax(-1))
+        return classify, (x,)
+
+    from modulationdetectioncnn_tpu.models import VTCNN2
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    model = VTCNN2.from_config(cfg.model)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 2, frame_len)))
+    if backend == "pallas_bf16":
+        from modulationdetectioncnn_tpu.ops.infer import make_bf16_forward_v2
+
+        fwd = make_bf16_forward_v2(params)
+    else:
+        calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
+        qm = quantize(model, params, calib)
+        if backend == "xla_int8":
+            from modulationdetectioncnn_tpu.ops.infer_xla import (
+                make_int8_forward_xla,
+            )
+
+            fwd = make_int8_forward_xla(qm)
+        elif backend == "pallas_int8":
+            from modulationdetectioncnn_tpu.ops.infer import make_int8_forward_v2
+
+            fwd = make_int8_forward_v2(qm)
+        else:
+            raise ValueError(f"unknown bench backend {backend!r}")
+
+    @jax.jit
+    def classify(xb):
+        return jnp.argmax(fwd(xb), axis=-1)
+
+    return classify, (x,)
+
+
+def _measure(fwd, args, bc, frame_len):
+    """Chained in-program timing (utils/timing.py): each iteration's input
+    carries a data dependency on the previous iteration's output, so the
+    number is immune to cross-dispatch overlap in the runtime (observed on
+    this tunneled platform: unchained back-to-back dispatches can read up
+    to ~2x faster than physically possible — honesty beats flattery)."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
+
+    (x0,) = args if len(args) == 1 else (args[-1],)
+    fixed = args[:-1]
+
+    def body(xc):
+        out = fwd(*fixed, xc)
+        probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
+        return xc + probe * jnp.float32(1e-38)
+
+    sec_per_iter = measure_per_iter_chained(
+        body, x0, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters
+    )
+    frames_per_sec = bc.batch_size / sec_per_iter
+    return frames_per_sec, frames_per_sec * frame_len
+
+
+def run(cfg=None, quiet: bool = False, backend: str | None = None,
+        fallback_from: str | None = None) -> dict:
+    import jax
 
     from modulationdetectioncnn_tpu.config import AmcConfig
 
     cfg = cfg or AmcConfig()
     bc = cfg.bench
-    frame_len = cfg.data.frame_len
+    backend = backend or bc.backend
 
     # Start the one-time transfer-channel init now so it overlaps compiles
     # (see utils/device.py; harmless no-op on direct-attached TPUs).
@@ -33,71 +122,32 @@ def run(cfg=None, quiet: bool = False) -> dict:
 
     if bc.mode == "stream":
         return run_stream_bench(cfg, quiet=quiet)
-    if bc.dtype == "int8":
-        from modulationdetectioncnn_tpu.ops.infer import make_int8_forward_fn
 
-        fwd, args = make_int8_forward_fn(cfg, batch=bc.batch_size)
-    else:
-        from modulationdetectioncnn_tpu.models import VTCNN2
-
-        model = VTCNN2.from_config(cfg.model)
-        params = model.init(
-            jax.random.key(0), jnp.zeros((2, 2, frame_len), jnp.float32)
-        )
-        x = jnp.asarray(
-            np.random.default_rng(0)
-            .standard_normal((bc.batch_size, 2, frame_len))
-            .astype(np.float32)
-        )
-        apply = jax.jit(lambda p, xb: model.apply(p, xb).argmax(-1))
-        fwd, args = apply, (params, x)
-
-    # Chained in-program timing (utils/timing.py): each iteration's input
-    # carries a data dependency on the previous iteration's output, so the
-    # number is immune to cross-dispatch overlap in the runtime (observed on
-    # this tunneled platform: unchained back-to-back dispatches can read up
-    # to ~2x faster than physically possible — honesty beats flattery).
-    import jax.numpy as jnp
-
-    from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
-
-    (x0,) = args if len(args) == 1 else (args[-1],)
-
-    if len(args) == 1:
-        def body(xc):
-            out = fwd(xc)
-            probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
-            return xc + probe * jnp.float32(1e-38)
-    else:
-        fixed = args[:-1]
-
-        def body(xc):
-            out = fwd(*fixed, xc)
-            probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
-            return xc + probe * jnp.float32(1e-38)
-
-    sec_per_iter = measure_per_iter_chained(
-        body, x0, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters
-    )
-    frames_per_sec = bc.batch_size / sec_per_iter
-    samples_per_sec = frames_per_sec * frame_len
+    fwd, args = make_classifier(cfg, backend, bc.batch_size)
+    frames_per_sec, samples_per_sec = _measure(fwd, args, bc, cfg.data.frame_len)
     result = {
         "metric": "classified_iq_samples_per_sec_per_chip",
         "value": round(samples_per_sec),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 4),
+        "backend": backend,
+        "fallback": fallback_from is not None,
     }
+    if fallback_from:
+        result["fallback_from"] = fallback_from
     if not quiet:
         print(json.dumps(result))
         from modulationdetectioncnn_tpu.utils.profiler import roofline
 
         extra = {
-            "dtype": bc.dtype,
+            "backend": backend,
             "batch": bc.batch_size,
             "frames_per_sec": round(frames_per_sec),
             "device": str(jax.devices()[0]),
             **roofline(samples_per_sec).as_dict(),
         }
+        if fallback_from:
+            extra["fallback_from"] = fallback_from
         print(json.dumps(extra), file=sys.stderr)
     return result
 
@@ -109,24 +159,24 @@ def run_stream_bench(cfg, quiet: bool = False) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
-    from modulationdetectioncnn_tpu.dsp.pipeline import subband_frames
+    from modulationdetectioncnn_tpu.dsp import pipeline
     from modulationdetectioncnn_tpu.golden.dsp import design_prototype
-    from modulationdetectioncnn_tpu.ops.infer import make_int8_forward_fn
     from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
 
     sc = cfg.stream
     m = sc.num_subbands
     # Size the wideband block so the CNN sees ~bench.batch_size frames/iter.
-    t_len = cfg.bench.batch_size * cfg.data.frame_len  # total samples/iter
-    t_len = (t_len // (m * sc.frame_hop)) * (m * sc.frame_hop)
+    t_len = cfg.bench.batch_size * sc.frame_len  # total samples/iter
+    align = m * sc.frame_hop * max(sc.resample_down, 1)
+    t_len = (t_len // align) * align
     h = design_prototype(m, sc.taps_per_branch)
     hj = jnp.asarray(np.asarray(h, np.float32))
-    classify, _ = make_int8_forward_fn(cfg, batch=cfg.bench.batch_size)
-    n_frames = (t_len // m // sc.frame_hop) * m
+    n_frames = pipeline.total_frames(sc, t_len) * m
+    classify, _ = make_classifier(cfg, cfg.bench.backend, cfg.bench.batch_size)
 
     @jax.jit
     def chain(xiq):
-        fr = subband_frames(xiq, hj, sc)  # (M, F, 2, 128)
+        fr = pipeline.subband_frames(xiq, hj, sc)  # (M, F, 2, frame_len)
         mm, ff = fr.shape[0], fr.shape[1]
         labels = classify(fr.reshape(mm * ff, 2, fr.shape[-1]))
         return labels
@@ -149,12 +199,14 @@ def run_stream_bench(cfg, quiet: bool = False) -> dict:
         "value": round(samples_per_sec),
         "unit": "samples/s",
         "vs_baseline": round(samples_per_sec / TARGET_SAMPLES_PER_SEC, 4),
+        "backend": cfg.bench.backend,
+        "fallback": False,
     }
     if not quiet:
         print(json.dumps(result))
         extra = {
             "mode": "stream", "subbands": m, "block_samples": t_len,
-            "frames_per_iter": n_frames,
+            "frames_per_iter": n_frames, "backend": cfg.bench.backend,
         }
         print(json.dumps(extra), file=sys.stderr)
     return result
@@ -168,15 +220,21 @@ if __name__ == "__main__":
     if arg == "stream":
         cfg = apply_overrides(cfg, ["bench.mode=stream"])
     elif arg:
-        cfg = apply_overrides(cfg, [f"bench.dtype={arg}"])
+        cfg = apply_overrides(cfg, [f"bench.backend={arg}"])
     try:
         run(cfg)
-    except Exception:
-        if cfg.bench.dtype != "bf16":
-            # int8 Pallas path unavailable (e.g. not yet built on this
-            # backend) — fall back to the bf16 XLA path so the driver always
-            # gets a number.
-            cfg = apply_overrides(cfg, ["bench.dtype=bf16"])
-            run(cfg)
+    except Exception as e:  # noqa: BLE001
+        # The requested backend failed. Never substitute silently: report
+        # the error, then measure the XLA bf16 path with fallback stamped.
+        import traceback
+
+        traceback.print_exc()
+        if cfg.bench.backend != "xla_bf16":
+            print(
+                json.dumps({"fallback_error": repr(e),
+                            "failed_backend": cfg.bench.backend}),
+                file=sys.stderr,
+            )
+            run(cfg, backend="xla_bf16", fallback_from=cfg.bench.backend)
         else:
             raise

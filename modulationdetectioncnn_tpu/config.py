@@ -92,12 +92,22 @@ class StreamConfig:
     """Streaming front-end (SURVEY.md N4-N7, config 4 of BASELINE.json)."""
     num_subbands: int = 16            # polyphase channelizer branches
     taps_per_branch: int = 8          # prototype filter taps per branch
+    # Rational P/Q resampling of the wideband stream before channelizing
+    # (SURVEY.md N5); 1/1 = off. fir_taps sizes the anti-alias lowpass.
     resample_up: int = 1
     resample_down: int = 1
     fir_taps: int = 33
-    frame_hop: int = 128              # non-overlapping classification frames
+    frame_len: int = 128              # classification frame length (CNN input)
+    # Frame hop in subband samples; hop < frame_len = overlapping frames
+    # (denser label rate). Must divide frame_len.
+    frame_hop: int = 128
     block_len: int = 1 << 15          # overlap-save block length (per device)
     normalize_cfo: bool = True
+    # Per-frame Oerder&Meyr timing estimate + polyphase fractional-delay
+    # correction (SURVEY.md N6 "timing normalization").
+    normalize_timing: bool = False
+    timing_phases: int = 32
+    sps: int = 8                      # samples/symbol at the frame rate
 
 
 @dataclass(frozen=True)
@@ -122,7 +132,9 @@ class BenchConfig:
     batch_size: int = 4096
     warmup_iters: int = 5
     timed_iters: int = 20
-    dtype: str = "int8"               # headline path (SURVEY.md §6 roofline)
+    # Measured code path (bench.py BACKENDS). The default MUST be the
+    # fastest verified backend — the driver-recorded headline number.
+    backend: str = "pallas_int8"
     # 'cnn' = classifier only (frames in HBM); 'stream' = full DSP chain
     # (channelize + normalize + frame + classify) on continuous wideband IQ.
     mode: str = "cnn"

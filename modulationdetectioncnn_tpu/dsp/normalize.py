@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,6 +97,60 @@ def estimate_timing(x: jnp.ndarray, sps: int) -> jnp.ndarray:
     ci = jnp.sum(e * jnp.sin(ang), axis=-1)
     tau = (-jnp.arctan2(ci, cr) / (2 * jnp.pi)) * sps
     return tau % sps
+
+
+@functools.lru_cache(maxsize=8)
+def _interp_bank(n_phases: int, taps_per_phase: int) -> np.ndarray:
+    """(P, taps+1) causal phase filters g_p[i] = h[i*P + p] of the golden
+    interpolator prototype (golden/dsp.py::design_interp), zero-padded."""
+    from modulationdetectioncnn_tpu.golden.dsp import design_interp
+
+    p_n, t_n = n_phases, taps_per_phase
+    h = design_interp(p_n, t_n)
+    g = np.zeros((p_n, t_n + 1), dtype=np.float64)
+    for p in range(p_n):
+        gp = h[p::p_n]
+        g[p, : len(gp)] = gp
+    return g.astype(np.float32)
+
+
+def correct_timing(
+    x: jnp.ndarray, tau: jnp.ndarray, sps: int, n_phases: int = 32,
+    taps_per_phase: int = 8,
+) -> jnp.ndarray:
+    """Batched symbol-timing correction: y[n] ~= x(n + tau_c) per frame, with
+    tau_c = tau wrapped to [-sps/2, sps/2). Golden twin:
+    golden/dsp.py::correct_timing (polyphase fractional delay).
+
+    x: (..., 2, T) f32 planes; tau: (...) samples. TPU-native formulation:
+    the P-phase bank runs as ONE grouped real conv (the interpolator's MACs
+    are ~P*taps*T per frame — noise vs the CNN's 18M), then per-frame
+    phase/offset selection is two take_along_axis gathers.
+    """
+    p_n, t_n = n_phases, taps_per_phase
+    g = _interp_bank(p_n, t_n)  # (P, taps+1)
+    t_len = x.shape[-1]
+    lead = x.shape[:-2]
+    b = int(np.prod(lead)) if lead else 1
+    ln = p_n * t_n + 1
+    c = (ln - 1) // 2
+    tau_c = ((tau + sps / 2.0) % sps) - sps / 2.0
+    s = jnp.round(tau_c * p_n).astype(jnp.int32) + c
+    d, p = s // p_n, s % p_n  # integer delay + phase per frame
+    # Grouped conv: both planes filtered by all P phases in one call.
+    lhs = x.reshape(b, 2, t_len).astype(jnp.float32)
+    rhs = jnp.asarray(np.tile(g[:, None, ::-1], (2, 1, 1)))  # (2P, 1, taps+1)
+    bank = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding=[(t_n, t_n)],
+        feature_group_count=2, dimension_numbers=("NCW", "OIW", "NCW"),
+    )  # (b, 2P, T + taps): bank[:, h*P + p, m] = (x_h conv g_p)[m]
+    bank = bank.reshape(b, 2, p_n, t_len + t_n)
+    pf = p.reshape(b)[:, None, None, None]
+    sel = jnp.take_along_axis(bank, pf, axis=2)[:, :, 0, :]  # (b, 2, T+taps)
+    idx = jnp.arange(t_len)[None, None, :] + d.reshape(b)[:, None, None]
+    idx = jnp.clip(idx, 0, t_len + t_n - 1)
+    out = jnp.take_along_axis(sel, idx, axis=-1)  # (b, 2, T)
+    return out.reshape(lead + (2, t_len)).astype(jnp.float32)
 
 
 def power_normalize(x: jnp.ndarray) -> jnp.ndarray:

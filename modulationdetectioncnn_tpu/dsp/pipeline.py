@@ -1,20 +1,25 @@
 """Streaming classification pipeline (SURVEY.md CS-C, config 4).
 
-Continuous wideband IQ -> overlap-save blocks -> polyphase channelizer ->
-per-subband per-frame normalization -> 128-sample frames -> CNN classifier.
+Continuous wideband IQ -> [polyphase FIR resample] -> overlap-save blocks ->
+polyphase channelizer -> per-subband framing (overlapping frames supported)
+-> per-frame normalization (power / CFO / timing) -> CNN classifier.
 Replaces the reference's single-board streaming (one 2x128 frame at a time
 over a CPU<->FPGA bus, SURVEY.md CS-2) with a whole-block, all-subbands
 batched flow on the MXU.
 
 The load-bearing invariant (SURVEY.md §4b): classifying a stream block-by-
 block with halo'd overlap-save MUST produce exactly the labels of
-classifying the whole stream at once. ``halo_wideband`` gives the required
-history: (taps-1) subband steps of channelizer FIR state = (taps-1)*M
-wideband samples.
+classifying the whole stream at once. ``plan_frontend`` composes the halo
+through every stage: the resampler needs ``fir_taps-1`` upsampled-rate
+inputs of history, the channelizer ``(taps_per_branch-1)*M`` resampled
+samples, and overlapping frames (hop < frame_len) another
+``(frame_len-hop)*M`` so frames straddling a block boundary are computed by
+the block that finishes them.
 """
 from __future__ import annotations
 
 import time
+from dataclasses import dataclass
 from typing import Callable
 
 import jax
@@ -22,30 +27,131 @@ import jax.numpy as jnp
 import numpy as np
 
 from modulationdetectioncnn_tpu.config import AmcConfig, StreamConfig
-from modulationdetectioncnn_tpu.dsp import channelizer, framer, normalize
+from modulationdetectioncnn_tpu.dsp import channelizer, fir, framer, normalize
 from modulationdetectioncnn_tpu.golden.dsp import design_prototype
 
 
+@dataclass(frozen=True)
+class FrontEndPlan:
+    """Halo/trim bookkeeping for seamless blocked/sharded streaming."""
+    m: int                # channelizer subbands
+    up: int               # resample numerator
+    down: int             # resample denominator
+    frame_len: int
+    hop: int
+    halo_in: int          # wideband INPUT samples of history per block
+    trim_res: int         # resampled samples dropped right after resampling
+    n_hist_sub: int       # subband samples of history kept after channelizing
+    n_lead_frames: int    # invalid leading frames (zero history) to drop
+
+
+def plan_frontend(sc: StreamConfig) -> FrontEndPlan:
+    """Compose the input halo through resampler -> channelizer -> framer.
+
+    Alignment requirements (asserted by the blocked/sharded paths, not
+    here): block_len*up % down == 0 and the resulting per-block subband
+    count divisible by frame_hop.
+    """
+    m, up, down = sc.num_subbands, sc.resample_up, sc.resample_down
+    f, hop = sc.frame_len, sc.frame_hop
+    if f % hop != 0:
+        raise ValueError(
+            f"frame_hop ({hop}) must divide frame_len ({f}) for seamless "
+            "overlapping-frame streaming"
+        )
+    # Subband-rate history: channelizer FIR state + overlapping-frame reach.
+    n_hist_sub = (sc.taps_per_branch - 1) + (f - hop)
+    h_y = n_hist_sub * m  # in resampled wideband samples
+    if (up, down) == (1, 1):
+        return FrontEndPlan(m, up, down, f, hop, h_y, 0, n_hist_sub,
+                            (f - hop) // hop)
+    # Resampled output index y[j] needs inputs back to (j*down - Lr + 1)/up;
+    # we need exact outputs from j = -h_y, so halo_in*up >= h_y*down + Lr-1,
+    # rounded so the per-block decimation phase matches the full stream
+    # ((halo_in*up) % down == 0).
+    lr = sc.fir_taps
+    halo_in = -(-(h_y * down + lr - 1) // up)
+    while (halo_in * up) % down:
+        halo_in += 1
+    trim_res = halo_in * up // down - h_y
+    return FrontEndPlan(m, up, down, f, hop, halo_in, trim_res, n_hist_sub,
+                        (f - hop) // hop)
+
+
 def halo_wideband(sc: StreamConfig) -> int:
-    """Wideband samples of history a block needs for seamless channelizing."""
-    return (sc.taps_per_branch - 1) * sc.num_subbands
+    """Wideband input samples of history a block needs for seamless
+    streaming through the full front-end (resample+channelize+frame)."""
+    return plan_frontend(sc).halo_in
+
+
+def design_resampler(sc: StreamConfig) -> np.ndarray:
+    """Anti-alias lowpass for the wideband P/Q resampler (gain = up)."""
+    cutoff = 0.5 / max(sc.resample_up, sc.resample_down)
+    return fir.design_lowpass(sc.fir_taps, cutoff) * sc.resample_up
+
+
+def _normalize_frames(fr: jnp.ndarray, sc: StreamConfig) -> jnp.ndarray:
+    """Per-frame normalization chain: power -> CFO -> timing (N6)."""
+    fr = normalize.power_normalize(fr)
+    if sc.normalize_cfo:
+        fr = normalize.correct_cfo(fr, normalize.estimate_cfo(fr))
+    if sc.normalize_timing:
+        tau = normalize.estimate_timing(fr, sc.sps)
+        fr = normalize.correct_timing(fr, tau, sc.sps, sc.timing_phases)
+    return fr
 
 
 def subband_frames(
     x: jnp.ndarray, h: np.ndarray, sc: StreamConfig
 ) -> jnp.ndarray:
-    """Wideband I/Q planes (..., 2, T) -> (..., M, F, 2, 128) normalized IQ
-    frames. Complex-free: plane-DFT channelizer + plane normalization (see
+    """Wideband I/Q planes (..., 2, T) -> (..., M, F, 2, frame_len)
+    normalized IQ frames — the whole-stream ('batch') reference path.
+    Complex-free: plane-DFT channelizer + plane normalization (see
     dsp/channelizer.py — this TPU backend has no complex support)."""
-    sub = channelizer.channelize(x, h, sc.num_subbands)  # (..., 2, T/M, M)
+    m = sc.num_subbands
+    if (sc.resample_up, sc.resample_down) != (1, 1):
+        x = fir.fir_resample_iq(x, design_resampler(sc), sc.resample_up,
+                                sc.resample_down)
+        t_r = x.shape[-1] - x.shape[-1] % m
+        x = x[..., :t_r]
+    sub = channelizer.channelize(x, h, m)  # (..., 2, T/M, M)
     sub = jnp.moveaxis(sub, -1, -3)  # (..., M, 2, T/M)
-    fr = framer.frames_from_stream(sub, sc.frame_hop)  # (..., M, 2, F, 128)
-    fr = jnp.swapaxes(fr, -2, -3)  # (..., M, F, 2, 128)
-    fr = normalize.power_normalize(fr)
-    if sc.normalize_cfo:
-        cfo = normalize.estimate_cfo(fr)
-        fr = normalize.correct_cfo(fr, cfo)
-    return fr
+    fr = framer.frames_from_stream(sub, sc.frame_len, sc.frame_hop)
+    fr = jnp.swapaxes(fr, -2, -3)  # (..., M, F, 2, frame_len)
+    return _normalize_frames(fr, sc)
+
+
+def block_frontend(
+    xb: jnp.ndarray, hj: jnp.ndarray, hr: jnp.ndarray | None,
+    sc: StreamConfig, plan: FrontEndPlan,
+) -> jnp.ndarray:
+    """Halo'd wideband block(s) (..., 2, halo_in + B) -> normalized frames
+    (..., M, F_b, 2, frame_len). Shared by the single-device blocked path
+    and the time-sharded path (parallel/halo.py). Frame k of block b starts
+    at global subband index b*Bs - (frame_len - hop) + k*hop."""
+    if (plan.up, plan.down) != (1, 1):
+        assert hr is not None
+        xb = fir.fir_resample_iq(xb, hr, plan.up, plan.down)
+        xb = xb[..., plan.trim_res:]
+    sub = channelizer.channelize(xb, hj, plan.m)
+    sub = jnp.moveaxis(sub, -1, -3)  # (..., M, 2, n_hist_sub + Bs)
+    sub = framer.trim_halo(sub, sc.taps_per_branch - 1)
+    fr = framer.frames_from_stream(sub, plan.frame_len, plan.hop)
+    fr = jnp.swapaxes(fr, -2, -3)  # (..., M, F_b, 2, frame_len)
+    return _normalize_frames(fr, sc)
+
+
+def batch_subband_len(sc: StreamConfig, t_len: int) -> int:
+    """Subband-stream length the batch path produces for a T-sample input."""
+    if (sc.resample_up, sc.resample_down) != (1, 1):
+        t_len = -(-t_len * sc.resample_up // sc.resample_down)
+    return t_len // sc.num_subbands
+
+
+def total_frames(sc: StreamConfig, t_len: int) -> int:
+    """Per-subband classification frames for a T-sample wideband input."""
+    ts = batch_subband_len(sc, t_len)
+    return max(0, (ts - sc.frame_len) // sc.frame_hop + 1)
 
 
 def classify_stream(
@@ -58,10 +164,25 @@ def classify_stream(
     'batch' reference for the streamed path). x: (2, T) I/Q planes.
     Returns (M, F) int labels."""
     h = h if h is not None else design_prototype(sc.num_subbands, sc.taps_per_branch)
-    iq = subband_frames(x, h, sc)  # (M, F, 2, 128)
+    iq = subband_frames(x, h, sc)  # (M, F, 2, frame_len)
     m, f = iq.shape[0], iq.shape[1]
     labels = predict_fn(iq.reshape(m * f, 2, iq.shape[-1]))
     return labels.reshape(m, f)
+
+
+def check_block_alignment(sc: StreamConfig, block: int) -> int:
+    """Validate block length against the plan; returns subband samples/block."""
+    m, up, down = sc.num_subbands, sc.resample_up, sc.resample_down
+    assert (block * up) % down == 0, (
+        "block_len*up must be divisible by resample_down"
+    )
+    bs_wide = block * up // down
+    assert bs_wide % m == 0, "resampled block must align to subbands"
+    bs = bs_wide // m
+    assert bs % sc.frame_hop == 0, (
+        "per-block subband samples must align to frame_hop"
+    )
+    return bs
 
 
 def classify_stream_blocked(
@@ -71,32 +192,29 @@ def classify_stream_blocked(
     h: np.ndarray | None = None,
 ) -> jnp.ndarray:
     """Streamed classification via overlap-save blocks; label-exact vs
-    classify_stream. x: (2, T) I/Q planes. Block length must be a multiple
-    of M*frame_hop so frame boundaries align across blocks."""
+    classify_stream. x: (2, T) I/Q planes."""
     h = h if h is not None else design_prototype(sc.num_subbands, sc.taps_per_branch)
+    plan = plan_frontend(sc)
     m = sc.num_subbands
     block = sc.block_len
-    assert block % (m * sc.frame_hop) == 0, "block must align to subband frames"
-    halo = halo_wideband(sc)
+    bs = check_block_alignment(sc, block)
     t_len = x.shape[-1]
-    n_blocks = -(-t_len // block)
+    hj = jnp.asarray(np.asarray(h, np.float32))
+    hr = (jnp.asarray(design_resampler(sc), dtype=jnp.float32)
+          if (plan.up, plan.down) != (1, 1) else None)
     # (2, nb, halo+block) -> (nb, 2, halo+block)
-    blocks = jnp.swapaxes(framer.overlap_save_blocks(x, block, halo), 0, 1)
-    sub = channelizer.channelize(blocks, h, m)  # (nb, 2, (halo+block)/M, M)
-    sub = jnp.moveaxis(sub, -1, -3)  # (nb, M, 2, (halo+block)/M)
-    sub = framer.trim_halo(sub, halo // m)  # (nb, M, 2, block/M)
-    fr = framer.frames_from_stream(sub, sc.frame_hop)  # (nb, M, 2, F_b, 128)
-    fr = jnp.swapaxes(fr, -2, -3)  # (nb, M, F_b, 2, 128)
-    fr = normalize.power_normalize(fr)
-    if sc.normalize_cfo:
-        fr = normalize.correct_cfo(fr, normalize.estimate_cfo(fr))
+    blocks = jnp.swapaxes(
+        framer.overlap_save_blocks(x, block, plan.halo_in), 0, 1
+    )
+    fr = block_frontend(blocks, hj, hr, sc, plan)  # (nb, M, F_b, 2, flen)
     nb, _, fb = fr.shape[:3]
     labels = predict_fn(fr.reshape(nb * m * fb, 2, fr.shape[-1]))
     labels = labels.reshape(nb, m, fb)
-    # (nb, M, F_b) -> (M, nb*F_b), dropping frames past the true stream end.
+    # (nb, M, F_b) -> (M, nb*F_b); drop the zero-history lead-in frames and
+    # any tail frames past the true stream end.
     labels = jnp.swapaxes(labels, 0, 1).reshape(m, nb * fb)
-    total_frames = (t_len // m) // sc.frame_hop
-    return labels[:, :total_frames]
+    n_total = total_frames(sc, t_len)
+    return labels[:, plan.n_lead_frames : plan.n_lead_frames + n_total]
 
 
 def run_stream_demo(cfg: AmcConfig):

@@ -93,6 +93,44 @@ def estimate_timing(x: np.ndarray, sps: int) -> float:
     return float(tau % sps)
 
 
+def design_interp(n_phases: int, taps_per_phase: int = 8, beta: float = 8.0) -> np.ndarray:
+    """Polyphase fractional-delay interpolator prototype.
+
+    Kaiser-windowed sinc at the ``n_phases``-times-upsampled rate, odd length
+    P*taps+1 (integer center -> exact zero-delay phase), DC gain ~1 per phase.
+    """
+    p, t = n_phases, taps_per_phase
+    ln = p * t + 1
+    n = np.arange(ln, dtype=np.float64)
+    center = (ln - 1) / 2.0
+    h = np.sinc((n - center) / p) * np.kaiser(ln, beta)
+    return h / h[int(center)]  # unit gain for the zero-delay phase
+
+
+def correct_timing(
+    x: np.ndarray, tau: float, sps: int, n_phases: int = 32,
+    taps_per_phase: int = 8,
+) -> np.ndarray:
+    """Remove a symbol-timing offset: y[n] ~= x(n + tau_c), where tau_c is
+    ``tau`` wrapped to [-sps/2, sps/2) (nearest symbol-grid alignment, which
+    minimizes edge loss on short frames). Polyphase interpolation: zero-stuff
+    by P, lowpass, pick the phase closest to tau_c*P. Same length as input.
+    """
+    p = n_phases
+    h = design_interp(p, taps_per_phase)
+    ln = len(h)
+    c = (ln - 1) // 2
+    tau_c = ((tau + sps / 2.0) % sps) - sps / 2.0
+    s = int(round(tau_c * p)) + c
+    xc = x.astype(np.complex128)
+    xu = np.zeros(len(xc) * p, dtype=np.complex128)
+    xu[::p] = xc
+    y = np.convolve(xu, h)  # y[j] ~= x((j - c)/P)
+    idx = np.arange(len(xc)) * p + s
+    idx = np.clip(idx, 0, len(y) - 1)
+    return y[idx]
+
+
 def power_normalize(x: np.ndarray) -> np.ndarray:
     p = np.mean(np.abs(x) ** 2) + 1e-30
     return x / np.sqrt(p)

@@ -4,30 +4,29 @@ THE distinctive distributed feature (BASELINE.json:5: "sharding ...
 time-blocks, exchanging overlap-save boundary samples ... via ICI
 collectives"): the continuous IQ stream is split into P contiguous
 time-blocks over the mesh's ``time`` axis; each device needs the last
-``halo`` samples of its left neighbor as channelizer-FIR history, which move
-in ONE ``jax.lax.ppermute`` hop (neighbor-to-neighbor, contiguous — exactly
-what ICI rings are built for). This is the workload's analog of context/
-sequence parallelism (SURVEY.md §5 long-context row; ring attention does not
-apply — there is no attention, documented non-goal N17).
+``halo`` samples of its left neighbor as front-end history (resampler tail +
+channelizer-FIR state + overlapping-frame reach — composed by
+dsp/pipeline.py::plan_frontend), which move in ONE ``jax.lax.ppermute`` hop
+(neighbor-to-neighbor, contiguous — exactly what ICI rings are built for).
+This is the workload's analog of context/sequence parallelism (SURVEY.md §5
+long-context row; ring attention does not apply — there is no attention,
+documented non-goal N17).
 
-Everything else (channelizer, framing, CNN) is embarrassingly local after
-the exchange, so scaling efficiency is bounded only by the halo/block ratio:
-halo = (taps-1)*M wideband samples vs block_len per device.
-"""
+Everything else (resampler, channelizer, framing, CNN) is embarrassingly
+local after the exchange, so scaling efficiency is bounded only by the
+halo/block ratio."""
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from modulationdetectioncnn_tpu.config import StreamConfig
-from modulationdetectioncnn_tpu.dsp import channelizer, framer, normalize
-from modulationdetectioncnn_tpu.dsp.pipeline import halo_wideband
+from modulationdetectioncnn_tpu.dsp import pipeline
 from modulationdetectioncnn_tpu.golden.dsp import design_prototype
 
 
@@ -63,30 +62,23 @@ def classify_stream_sharded(
 
     x: (2, T) wideband I/Q planes (complex never reaches the device — see
     dsp/channelizer.py), T divisible by n_time_devices, and each device's
-    share divisible by M*frame_hop. Returns (M, F) labels.
+    share passing pipeline.check_block_alignment. Returns (M, F) labels.
     """
     h = h if h is not None else design_prototype(sc.num_subbands, sc.taps_per_branch)
+    plan = pipeline.plan_frontend(sc)
     m = sc.num_subbands
-    halo = halo_wideband(sc)
     n_dev = mesh.shape[time_axis]
     t_len = x.shape[-1]
     assert t_len % n_dev == 0
     t_local = t_len // n_dev
-    assert t_local % (m * sc.frame_hop) == 0, (
-        "per-device block must align to subband frames"
-    )
+    pipeline.check_block_alignment(sc, t_local)
     hj = jnp.asarray(np.asarray(h, np.float32))
+    hr = (jnp.asarray(pipeline.design_resampler(sc), dtype=jnp.float32)
+          if (plan.up, plan.down) != (1, 1) else None)
 
     def block_fn(x_loc, hh):
-        xb = left_halo_exchange(x_loc, halo, time_axis)  # (2, halo+T_local)
-        sub = channelizer.channelize(xb, hh, m)  # (2, (halo+T_local)/M, M)
-        sub = jnp.moveaxis(sub, -1, -3)  # (M, 2, (halo+T_local)/M)
-        sub = framer.trim_halo(sub, halo // m)  # (M, 2, T_local/M)
-        fr = framer.frames_from_stream(sub, sc.frame_hop)  # (M, 2, F_loc, 128)
-        fr = jnp.swapaxes(fr, -2, -3)  # (M, F_loc, 2, 128)
-        fr = normalize.power_normalize(fr)
-        if sc.normalize_cfo:
-            fr = normalize.correct_cfo(fr, normalize.estimate_cfo(fr))
+        xb = left_halo_exchange(x_loc, plan.halo_in, time_axis)
+        fr = pipeline.block_frontend(xb, hh, hr, sc, plan)
         f_loc = fr.shape[1]
         labels = predict_fn(fr.reshape(m * f_loc, 2, fr.shape[-1]))
         return labels.reshape(m, f_loc)
@@ -98,10 +90,12 @@ def classify_stream_sharded(
         mesh=mesh,
         in_specs=(spec_in, P()),
         out_specs=spec_out,
-        check_rep=False,
+        check_vma=False,
     )
     x = jax.device_put(x, NamedSharding(mesh, spec_in))
-    return jax.jit(fn)(x, hj)
+    labels = jax.jit(fn)(x, hj)
+    n_total = pipeline.total_frames(sc, t_len)
+    return labels[:, plan.n_lead_frames : plan.n_lead_frames + n_total]
 
 
 def time_mesh(n_devices: int | None = None) -> Mesh:
@@ -112,7 +106,8 @@ def time_mesh(n_devices: int | None = None) -> Mesh:
 
 def dryrun(mesh: Mesh | None = None) -> None:
     """Driver smoke path (called from __graft_entry__.dryrun_multichip):
-    run the halo-exchange streaming classification on a time-axis mesh."""
+    run the halo-exchange streaming classification — with the REAL VT-CNN2
+    float forward as the classifier — on a time-axis mesh."""
     devs = list(mesh.devices.flat) if mesh is not None else jax.devices()
     tm = Mesh(np.asarray(devs).reshape(len(devs)), axis_names=("time",))
     sc = StreamConfig(num_subbands=4, taps_per_branch=4, frame_hop=128)
@@ -120,9 +115,14 @@ def dryrun(mesh: Mesh | None = None) -> None:
     r = np.random.default_rng(0)
     x = r.standard_normal((2, t_len)).astype(np.float32)  # I/Q planes
 
-    def fake_predict(xb):  # stand-in classifier: cheap, deterministic
-        return jnp.argmax(jnp.sum(xb**2, axis=(-1,)), axis=-1)
+    from modulationdetectioncnn_tpu.models import VTCNN2
 
-    labels = classify_stream_sharded(jnp.asarray(x), fake_predict, sc, tm)
+    model = VTCNN2(dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 2, sc.frame_len)))
+
+    def predict(xb):
+        return jnp.argmax(model.apply(params, xb), axis=-1)
+
+    labels = classify_stream_sharded(jnp.asarray(x), predict, sc, tm)
     jax.block_until_ready(labels)
     assert labels.shape[0] == sc.num_subbands

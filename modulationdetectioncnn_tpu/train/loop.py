@@ -114,14 +114,19 @@ class JsonlLogger:
 
 
 def make_device_train_step(model: VTCNN2, tx: optax.GradientTransformation,
-                           batch_size: int):
+                           batch_size: int, mesh: Mesh | None = None):
     """Device-resident-data train step (SURVEY.md §6 'production' path).
 
     The whole training split lives in HBM (220k RadioML frames = ~180 MB,
     1.1% of a v5e's 16 GB); each step draws a uniform random batch with an
     on-device gather instead of a host->device copy. Removes the per-step
     host transfer that otherwise dominates (measured 8k samples/s through
-    this environment's tunnel vs ~1M samples/s device-resident)."""
+    this environment's tunnel vs ~1M samples/s device-resident). On a
+    multi-device mesh the gathered batch is sharding-constrained onto the
+    'data' axis so the step runs data-parallel."""
+    batch_sharding = None
+    if mesh is not None and "data" in mesh.axis_names and mesh.devices.size > 1:
+        batch_sharding = NamedSharding(mesh, P("data"))
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, data_x, data_y, step_key):
@@ -131,6 +136,9 @@ def make_device_train_step(model: VTCNN2, tx: optax.GradientTransformation,
         )
         x = jnp.take(data_x, idx, axis=0)
         y = jnp.take(data_y, idx, axis=0)
+        if batch_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, batch_sharding)
+            y = jax.lax.with_sharding_constraint(y, batch_sharding)
 
         def loss_fn(p):
             logits = model.apply(
@@ -163,9 +171,16 @@ def train(
     host batches (the path used when the dataset exceeds HBM)."""
     tc = cfg.train
     model = VTCNN2.from_config(cfg.model)
-    mesh = mesh or make_mesh()
-    if mesh.devices.size > 1:
-        device_data = False  # multi-device DP uses the host batch path
+    if mesh is None:
+        mc = cfg.mesh
+        if mc.data * mc.model * mc.time > 1:
+            # Honor the configured (data, model, time) mesh: channel
+            # sharding (SURVEY.md N15) via parallel/mesh.py rules.
+            from modulationdetectioncnn_tpu.parallel import mesh as pmesh
+
+            mesh = pmesh.make_mesh(mc)
+        else:
+            mesh = make_mesh()
 
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, tc.learning_rate, tc.warmup_steps, tc.num_steps
@@ -176,16 +191,24 @@ def train(
     key, init_key = jax.random.split(key)
     x0 = jnp.zeros((2, 2, cfg.data.frame_len), jnp.float32)
     params = model.init(init_key, x0)
-    # Replicate params/opt state across the data axis.
     rep = NamedSharding(mesh, P())
-    params = jax.device_put(params, rep)
-    opt_state = jax.device_put(tx.init(params), rep)
+    if "model" in mesh.axis_names:
+        # Channel-sharded params (TP-analog, SURVEY.md N15): conv1 filters /
+        # Dense1 columns on the 'model' axis; GSPMD inserts the psums.
+        from modulationdetectioncnn_tpu.parallel import mesh as pmesh
+
+        params = pmesh.shard_params(params, mesh)
+        opt_state = tx.init(params)  # zeros_like inherits param shardings
+    else:
+        # Replicate params/opt state across the data axis.
+        params = jax.device_put(params, rep)
+        opt_state = jax.device_put(tx.init(params), rep)
 
     eval_step = make_eval_step(model)
     if device_data:
-        train_step = make_device_train_step(model, tx, tc.batch_size)
-        data_x = jax.device_put(jnp.asarray(train_data[0], jnp.float32))
-        data_y = jax.device_put(jnp.asarray(train_data[1], jnp.int32))
+        train_step = make_device_train_step(model, tx, tc.batch_size, mesh)
+        data_x = jax.device_put(jnp.asarray(train_data[0], jnp.float32), rep)
+        data_y = jax.device_put(jnp.asarray(train_data[1], jnp.int32), rep)
         batches = None
     else:
         train_step = make_train_step(model, tx)
@@ -208,8 +231,20 @@ def train(
             # re-derived by folding in the step so the batch/dropout stream
             # continues deterministically-but-differently from a cold start.
             r_params, r_opt, start_step = restored
-            params = jax.device_put(r_params, rep)
-            opt_state = jax.device_put(r_opt, rep)
+            if "model" in mesh.axis_names:
+                from modulationdetectioncnn_tpu.parallel import mesh as pmesh
+
+                params = pmesh.shard_params(r_params, mesh)
+                opt_state = jax.tree.map(
+                    jax.device_put, r_opt,
+                    jax.tree.map(
+                        lambda l: l.sharding if hasattr(l, "sharding") else rep,
+                        opt_state,
+                    ),
+                )
+            else:
+                params = jax.device_put(r_params, rep)
+                opt_state = jax.device_put(r_opt, rep)
             key = jax.random.fold_in(jax.random.key(tc.seed), start_step)
             log.info("resumed from checkpoint step %d", start_step)
 

@@ -38,7 +38,7 @@ def worker(pid: int, nproc: int) -> None:
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_dev = jax.device_count()
     assert n_dev == nproc * DEVS_PER_PROC, f"global devices {n_dev}"
@@ -49,7 +49,7 @@ def worker(pid: int, nproc: int) -> None:
         return jax.lax.psum(x, "time")
 
     f = shard_map(allsum, mesh=mesh, in_specs=P("time"), out_specs=P("time"),
-                  check_rep=False)
+                  check_vma=False)
     x_host = np.arange(n_dev * 2, dtype=np.float32)
     x_global = jax.make_array_from_callback(
         x_host.shape, NamedSharding(mesh, P("time")), lambda idx: x_host[idx]
@@ -66,7 +66,7 @@ def worker(pid: int, nproc: int) -> None:
     t_local, h = 8, 3
     g = shard_map(
         lambda xl: left_halo_exchange(xl, h, "time")[None],
-        mesh=mesh, in_specs=P("time"), out_specs=P("time"), check_rep=False,
+        mesh=mesh, in_specs=P("time"), out_specs=P("time"), check_vma=False,
     )
     xs_host = np.arange(n_dev * t_local, dtype=np.float32)
     xs = jax.make_array_from_callback(

@@ -117,6 +117,46 @@ def test_timing_estimate_matches_golden():
     assert abs(got - want) < 1e-3 * sps
 
 
+def test_timing_correct_matches_golden():
+    r = np.random.default_rng(21)
+    t_len, sps = 128, 8
+    xs = (
+        r.standard_normal((6, t_len)) + 1j * r.standard_normal((6, t_len))
+    ).astype(np.complex64)
+    taus = np.array([0.0, 1.3, 7.9, 4.0, 6.25, 2.5])
+    want = np.stack(
+        [gold.correct_timing(x, t, sps) for x, t in zip(xs, taus)]
+    )
+    got = np.asarray(
+        normalize.correct_timing(
+            jnp.asarray(_planes(xs)), jnp.asarray(taus), sps
+        )
+    )
+    np.testing.assert_allclose(got[:, 0], want.real, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got[:, 1], want.imag, rtol=1e-4, atol=1e-4)
+
+
+def test_timing_correct_zeroes_the_estimate():
+    """Correcting the O&M estimate must leave ~zero residual offset."""
+    from modulationdetectioncnn_tpu.data.synthetic import rrc_filter
+
+    r = np.random.default_rng(23)
+    sps = 8
+    frames = []
+    for shift in (1, 3, 5):
+        syms = (r.integers(0, 2, 80) * 2 - 1).astype(np.float64)
+        up = np.zeros(len(syms) * sps)
+        up[::sps] = syms
+        x = np.convolve(up, rrc_filter(0.35, sps, 6))[: 512 + shift]
+        frames.append(x[shift:].astype(np.complex64))
+    pl = jnp.asarray(_planes(np.stack(frames)))
+    tau = normalize.estimate_timing(pl, sps)
+    fixed = normalize.correct_timing(pl, tau, sps)
+    resid = np.asarray(normalize.estimate_timing(fixed, sps))
+    resid = np.minimum(resid % sps, sps - resid % sps)
+    assert np.all(resid < 0.15), resid
+
+
 def test_power_normalize_planes():
     r = np.random.default_rng(17)
     x = (r.standard_normal((5, 128)) + 1j * r.standard_normal((5, 128))) * 3.0

@@ -51,7 +51,7 @@ def test_sharded_equals_single_device(n_dev):
 
 def test_left_halo_exchange_values():
     """The exchanged halo is exactly the left neighbor's tail."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     n_dev = 4
@@ -64,7 +64,7 @@ def test_left_halo_exchange_values():
         mesh=mesh,
         in_specs=(P("time"),),
         out_specs=P("time"),
-        check_rep=False,
+        check_vma=False,
     )
     out = np.asarray(jax.jit(fn)(x))  # (n_dev, h + t_local)
     for d in range(n_dev):

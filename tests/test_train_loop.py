@@ -54,9 +54,10 @@ def test_train_dp_matches_more_devices_seeded():
     x, y, _ = _tiny_data(cfg)
     mesh1 = loop.make_mesh(1)
     mesh8 = loop.make_mesh(8)
-    # device_data=False on the 1-device mesh so both runs draw the SAME
-    # host-shuffled batch sequence (the device path samples differently).
-    p1, h1 = loop.train(cfg, (x, y), mesh=mesh1, device_data=False)
+    # Both runs use the device-resident path: the PRNG-driven batch index
+    # stream is identical regardless of device count, so the math matches
+    # up to reduction order.
+    p1, h1 = loop.train(cfg, (x, y), mesh=mesh1)
     p8, h8 = loop.train(cfg, (x, y), mesh=mesh8)
     # Same seed + same data order -> identical math up to reduction order.
     l1 = jax.tree.leaves(p1)
