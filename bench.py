@@ -17,7 +17,8 @@ sys.path.insert(0, "/root/repo")
 TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 
 # Verified code paths, fastest-first preference for the headline number.
-BACKENDS = ("pallas_int8", "pallas_bf16", "xla_bf16", "xla_int8")
+BACKENDS = ("pallas_int8_v3", "pallas_int8", "pallas_bf16", "xla_bf16",
+            "xla_int8")
 
 
 def make_classifier(cfg, backend: str, batch: int):
@@ -58,6 +59,12 @@ def make_classifier(cfg, backend: str, batch: int):
     else:
         calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
         qm = quantize(model, params, calib)
+        if backend == "pallas_int8_v3":
+            from modulationdetectioncnn_tpu.ops.infer import (
+                make_int8_classifier_v3,
+            )
+
+            return make_int8_classifier_v3(qm), (x,)  # emits labels directly
         if backend == "xla_int8":
             from modulationdetectioncnn_tpu.ops.infer_xla import (
                 make_int8_forward_xla,
@@ -165,6 +172,9 @@ def run_stream_bench(cfg, quiet: bool = False) -> dict:
 
     sc = cfg.stream
     m = sc.num_subbands
+    assert sc.frame_len == cfg.data.frame_len, (
+        "stream.frame_len must match the CNN input length (data.frame_len)"
+    )
     # Size the wideband block so the CNN sees ~bench.batch_size frames/iter.
     t_len = cfg.bench.batch_size * sc.frame_len  # total samples/iter
     align = m * sc.frame_hop * max(sc.resample_down, 1)

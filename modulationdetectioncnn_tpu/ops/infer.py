@@ -530,6 +530,190 @@ def make_int8_forward_v2(qm, *, block_b: int = 64, chunk: int = 16,
     return forward
 
 
+# ------------------------------------------------- v3: lane-aligned taps-on-K
+#
+# v2's remaining losses (scripts/probe.py, VERDICT r1 weak #2):
+#   - the conv2 tap-packed (512, 240) matmul + 80-lane shift-add slices force
+#     lane-crossing relayouts, and the (B, 124, 80) int8 output is written
+#     through unaligned 80-lane tiles;
+#   - the dense stage re-reads the activation and argmax is a third dispatch.
+# v3 removes all three:
+#   - conv2 runs as THREE sublane-offset dots accumulated in int32
+#     ("taps-on-K": out[t] = sum_k a1[t+k] @ W2k[k]) with the 80 output
+#     channels padded to 128 lanes -> no shift-add, no lane-crossing, aligned
+#     stores. Rows that straddle the 126-row frame boundary inside a chunk
+#     are computed as garbage and NULLED in the dense stage by zero rows of
+#     the padded W3 (integer chain stays exact).
+#   - the conv output keeps all t1=126 rows x 128 lanes per frame; the
+#     (B, 126, 128) -> (B, 16128) flatten is a free lane-aligned HBM reshape.
+#   - dense1 + dense2 + class-masked argmax fuse into ONE kernel emitting
+#     (B, 1) int32 labels — no logits round-trip, no argmax dispatch.
+
+
+def pack_conv2_weights_tapk(w2: np.ndarray, lanes: int = _LANES) -> np.ndarray:
+    """Flax Conv2 kernel (2, 3, Cin, Co) -> (3*2*Cin, lanes) taps-on-K:
+    W2k[k*2Cin + h*Cin + cin, co] = w2[h, k, cin, co], co zero-padded."""
+    w2 = np.asarray(w2)
+    kh, kw, cin, co = w2.shape
+    out = np.zeros((kw * kh * cin, lanes), dtype=w2.dtype)
+    for k in range(kw):
+        blk = w2[:, k].reshape(kh * cin, co)  # (2Cin, Co), rows h*Cin+cin
+        out[k * kh * cin : (k + 1) * kh * cin, :co] = blk
+    return out
+
+
+def pack_dense1_weights_v3(
+    w3: np.ndarray, t2: int, c2: int, t1: int, lanes: int = _LANES
+) -> np.ndarray:
+    """Dense1 kernel (t2*c2, N) -> (t1*lanes, N) with zeros at the conv-v3
+    garbage positions (frame-boundary rows t>=t2, padded lanes c>=c2)."""
+    w3 = np.asarray(w3)
+    n = w3.shape[1]
+    out = np.zeros((t1 * lanes, n), dtype=w3.dtype)
+    w3r = w3.reshape(t2, c2, n)
+    out_r = out.reshape(t1, lanes, n)
+    out_r[:t2, :c2, :] = w3r
+    return out
+
+
+def _conv_stage_int8_v3_kernel(
+    xe_ref, w1_ref, m1_ref, o1_ref, w2k_ref, m2_ref, o2_ref, o_ref,
+    *, chunk, t1,
+):
+    """conv1 (small-K MXU matmul) -> requant -> conv2 taps-on-K (3 sublane-
+    offset dots, int32 accumulation) -> requant. Output (BB, t1, 128) int8
+    with per-frame rows t>=t1-2 and lanes>=c2 garbage (nulled downstream)."""
+    tb = o_ref.shape[0]
+    kdim = w1_ref.shape[1]  # 2*Cin (512)
+    m = chunk * t1 - 2
+    for ci in range(tb // chunk):
+        xe = xe_ref[ci * chunk * t1 : (ci + 1) * chunk * t1]  # (chunk*t1, 8)
+        a1 = jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+        acc = None
+        for k in range(3):
+            d = jax.lax.dot_general(
+                a1q[k : k + m], w2k_ref[k * kdim : (k + 1) * kdim],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc = d if acc is None else acc + d
+        z = jnp.pad(acc, ((0, 2), (0, 0))).reshape(chunk, t1, _LANES)
+        o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+            z, m2_ref[:], o2_ref[:], relu=True
+        )
+
+
+def _dense_argmax_int8_kernel(
+    h_ref, w3_ref, m3_ref, o3_ref, w4_ref, s4_ref, b4_ref, o_ref, *, nc
+):
+    """dense1 -> requant -> dense2 -> fp32 affine -> class-masked argmax.
+    Emits int32 labels (dbb, 1): no logits leave the kernel."""
+    acc3 = jax.lax.dot_general(
+        h_ref[:], w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    a3 = requantize(acc3, m3_ref[:], o3_ref[:], relu=True)
+    acc4 = jax.lax.dot_general(
+        a3, w4_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(lane < nc, logits, -jnp.inf)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    idx = jnp.where(logits >= mx, lane, _LANES)
+    o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+
+def make_int8_classifier_v3(qm, *, block_b: int = 64, chunk: int = 16,
+                            dense_block_b: int = 512, interpret: bool = False):
+    """Fused v3 int8 classifier: (B,2,T) f32 -> (B,) int32 labels.
+
+    Two Pallas kernels (conv stage, dense+argmax stage) + the XLA
+    quantize/expand prologue. Integer chain identical to golden/quant.py
+    (padding contributes exact zeros; garbage positions nulled by zero
+    weights), so labels are bit-exact vs the golden int8 chain.
+    """
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)  # (8, 2C) int8
+    # qm.w2p is tap-packed (2Cin, 3Co); recover (2,3,Cin,Co) then re-pack.
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tapk(w2)  # (3*2Cin, 128) int8
+    m2p = _pad_cols(qm.m2)
+    o2p = _pad_cols(qm.o2)
+    w4 = _pad_cols(qm.w4)
+    s4 = _pad_cols(qm.s4)
+    b4 = _pad_cols(qm.b4)
+    inv_sx = float(1.0 / qm.s_x)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    @jax.jit
+    def classify(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t1, t2 = t_in - 2, t_in - 4
+        w3p = pack_dense1_weights_v3(qm.w3, t2, c2, t1)
+        dense_consts = [jnp.asarray(a) for a in
+                        (w3p, qm.m3, qm.o3, w4, s4, b4)]
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xe = expand_taps(x_i8, t1).reshape(b * t1, 8)
+        out2 = pl.pallas_call(
+            functools.partial(_conv_stage_int8_v3_kernel, chunk=chunk, t1=t1),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b * t1, 8), lambda i: (i, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t1, _LANES), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t1, _LANES), jnp.int8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * t1 * (8 + 3 * _LANES) * 512,
+                bytes_accessed=b * t1 * (_LANES + 8) + 400_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(xe, *conv_consts)
+        h = out2.reshape(b, t1 * _LANES)  # free lane-aligned reshape
+        labels = pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=nc),
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t1 * _LANES),
+                                   lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t1 * _LANES * 256 + 256 * _LANES),
+                bytes_accessed=b * (t1 * _LANES + 4) + 4_300_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return labels[:b0, 0]
+
+    return classify
+
+
 # ------------------------------------------------------------- bench helper
 
 

@@ -51,19 +51,29 @@ def report(name, sec, work=None, unit="TOPS", batch=BATCH):
           flush=True)
 
 
-def chain(name, fn, x0, work=None, n1=8, n2=40, unit="TOPS", batch=BATCH):
-    """Time fn(x) with a constant-cost data-dependent carry (scalar probe)."""
+def chain(name, fn, x0, work=None, n1=None, n2=None, unit="TOPS",
+          batch=BATCH):
+    """Time fn(x) with a constant-cost data-dependent carry (scalar probe).
+
+    The carry bump is (probe_f32 * 1e-38) cast to the carry dtype — a
+    DYNAMIC zero XLA cannot fold away (a literal-0 multiply gets constant-
+    folded and the whole loop body DCE'd: measured as negative timings).
+    Iteration counts auto-scale from a pilot run so the two-length delta
+    is >= ~60 ms, well above tunnel RPC jitter.
+    """
     jfn = jax.jit(fn)
 
     def body(xc):
         out = jfn(xc)
-        probe = jax.tree.leaves(out)[0].ravel()[0]
-        if probe.dtype != xc.dtype:
-            probe = probe.astype(jnp.float32)
-            return (xc.astype(jnp.float32) + probe * 1e-38).astype(xc.dtype)
-        return xc + probe * jnp.asarray(1e-38 if xc.dtype == jnp.float32
-                                        else 0, xc.dtype)
+        probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
+        bump = (probe * jnp.float32(1e-38)).astype(xc.dtype)
+        return xc + bump
 
+    if n1 is None or n2 is None:
+        pilot = measure_per_iter_chained(body, x0, n1=4, n2=16)
+        pilot = max(pilot, 1e-6)
+        delta = max(32, min(3000, int(0.06 / pilot)))
+        n1, n2 = 8, 8 + delta
     sec = measure_per_iter_chained(body, x0, n1=n1, n2=n2)
     report(name, sec, work, unit, batch)
     return sec
@@ -206,7 +216,7 @@ def probe_conv():
                     dimension_semantics=("parallel",)),
             )(carry, *cj)
 
-        chain(name, fn, a0, work=2 * BATCH * slots, n1=4, n2=20)
+        chain(name, fn, a0, work=2 * BATCH * slots)
 
     w2 = rng.integers(-100, 100, (512, 240)).astype(np.int8)
 
@@ -435,8 +445,282 @@ def probe_batch():
         print(f"   -> {b * 128 / sec / 1e6:.1f} MS/s", flush=True)
 
 
+# ------------------------------------------------------------------- repack
+def probe_repack():
+    """Is the int32->int8 tile repack (4-sublane pack) the conv-stage
+    binder? Isolated costs of the candidate epilogues + chunk sweep."""
+    BRQ = 16
+    m1 = rng.random(512).astype(np.float32) * 1e-3
+    o1 = rng.random(512).astype(np.float32)
+    cj = [jnp.asarray(m1), jnp.asarray(o1)]
+    a0 = jnp.asarray(
+        rng.integers(0, 1 << 20, (BATCH * T1, 512), np.int32))
+
+    def k_rq_i8(a_ref, m_ref, o_ref, out_ref):
+        out_ref[:] = requantize(a_ref[:], m_ref[:], o_ref[:], relu=True)
+
+    def f_rq(out_dtype):
+        def f(a):
+            def k(a_ref, m_ref, o_ref, out_ref):
+                v = a_ref[:].astype(jnp.float32) * m_ref[:] + (o_ref[:] + 0.5)
+                out_ref[:] = jnp.clip(v, 0.0, 127.0).astype(out_dtype)
+
+            return pl.pallas_call(
+                k,
+                grid=(BATCH // BRQ,),
+                in_specs=[pl.BlockSpec((BRQ * T1, 512), lambda i: (i, 0))]
+                + [_spec(c) for c in cj],
+                out_specs=pl.BlockSpec((BRQ * T1, 512), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH * T1, 512), out_dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(a, *cj)
+
+        return f
+
+    # NOTE: isolated whole-tensor requant probes removed: they are
+    # HBM-bound (1 GB of i32 traffic) and do not isolate the in-kernel
+    # (VMEM-resident) epilogue cost. In-situ premium: tapK vs tapK+rq.
+    # conv2-only from a resident i8 activation, chunk sweep (no conv1/rq)
+    w2 = rng.integers(-100, 100, (512, 240)).astype(np.int8)
+    wj = jnp.asarray(w2)
+    a8 = jnp.asarray(
+        rng.integers(0, 127, (BATCH * T1, 512), np.int32).astype(np.int8))
+
+    def f_c2(chunk):
+        def k(a_ref, w_ref, o_ref):
+            tb = a_ref.shape[0] // T1
+            for ci in range(tb // chunk):
+                a1 = a_ref[ci * chunk * T1: (ci + 1) * chunk * T1]
+                z = jax.lax.dot_general(
+                    a1, w_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                o_ref[ci * chunk * T1: (ci + 1) * chunk * T1] = (
+                    z >> 9).astype(jnp.int8)
+
+        def f(a):
+            return pl.pallas_call(
+                k,
+                grid=(BATCH // BRQ,),
+                in_specs=[pl.BlockSpec((BRQ * T1, 512), lambda i: (i, 0)),
+                          _spec(w2)],
+                out_specs=pl.BlockSpec((BRQ * T1, 240), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH * T1, 240), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(a, wj)
+
+        return f
+
+    for chunk in (4, 16):  # chunk=16 == one (2016,512)x(512,240) dot/block
+        chain(f"conv2 mm only (i8 in, >>9 i8 out) chunk={chunk}",
+              f_c2(chunk), a8, work=2 * BATCH * T1 * 512 * 240)
+
+
+# ---------------------------------------------------------------------- rq2
+def probe_rq2():
+    """Cheaper conv1 epilogues: f32 affine (current) vs integer pow2-shift
+    requant vs relu-only; plus i16 x i8 MXU feasibility (would remove the
+    conv1 requant entirely via per-tensor scales)."""
+    BRQ = 16
+    a0 = jnp.asarray(rng.integers(0, 90000, (BATCH * T1, 512), np.int32))
+    m1 = rng.random(512).astype(np.float32) * 1e-3
+    o1 = rng.random(512).astype(np.float32)
+    cj = [jnp.asarray(m1), jnp.asarray(o1)]
+
+    def run(name, kernel, consts, out_dtype=jnp.int8):
+        def f(a):
+            return pl.pallas_call(
+                kernel,
+                grid=(BATCH // BRQ,),
+                in_specs=[pl.BlockSpec((BRQ * T1, 512), lambda i: (i, 0))]
+                + [_spec(np.asarray(c)) for c in consts],
+                out_specs=pl.BlockSpec((BRQ * T1, 512), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH * T1, 512), out_dtype),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(a, *consts)
+
+        chain(name, f, a0, work=BATCH * T1 * 512, unit="Telt")
+
+    def k_f32(a_ref, m_ref, o_ref, out_ref):
+        out_ref[:] = requantize(a_ref[:], m_ref[:], o_ref[:], relu=True)
+
+    run("rq f32 affine i32->i8 (current)", k_f32, cj)
+
+    def k_shift(a_ref, out_ref):
+        v = jax.lax.shift_right_arithmetic(a_ref[:] + 64, 7)
+        out_ref[:] = jnp.clip(v, 0, 127).astype(jnp.int8)
+
+    run("rq pow2 shift i32->i8", k_shift, [])
+
+    def k_relu16(a_ref, out_ref):
+        out_ref[:] = jnp.clip(a_ref[:], 0, 32767).astype(jnp.int16)
+
+    run("relu-only i32->i16", k_relu16, [], out_dtype=jnp.int16)
+
+    # i16 x i8 dot feasibility + speed
+    a16 = jnp.asarray(
+        rng.integers(0, 20000, (BATCH * T1, 512), np.int32).astype(np.int16))
+    w2 = jnp.asarray(rng.integers(-100, 100, (512, 240)).astype(np.int8))
+
+    def k_i16dot(a_ref, w_ref, o_ref):
+        chunk = 16
+        tb = a_ref.shape[0] // T1
+        for ci in range(tb // chunk):
+            a1 = a_ref[ci * chunk * T1: (ci + 1) * chunk * T1]
+            z = jax.lax.dot_general(
+                a1, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[ci * chunk * T1: (ci + 1) * chunk * T1] = (
+                z >> 9).astype(jnp.int8)
+
+    def f_i16(a):
+        return pl.pallas_call(
+            k_i16dot,
+            grid=(BATCH // BRQ,),
+            in_specs=[pl.BlockSpec((BRQ * T1, 512), lambda i: (i, 0)),
+                      _spec(np.zeros((512, 240)))],
+            out_specs=pl.BlockSpec((BRQ * T1, 240), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH * T1, 240), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(a, w2)
+
+    try:
+        chain("conv2 mm i16 x i8 -> i32", f_i16, a16,
+              work=2 * BATCH * T1 * 512 * 240)
+    except Exception as e:  # noqa: BLE001
+        print(f"i16 x i8 dot: FAILS ({str(e)[:150]})", flush=True)
+
+
+# ----------------------------------------------------------------------- v3
+def probe_v3():
+    from modulationdetectioncnn_tpu.ops import infer
+
+    qm = _qm()
+    for b in (1024, 2048, 4096):
+        classify = infer.make_int8_classifier_v3(qm)
+        x0 = jnp.asarray(rng.standard_normal((b, 2, 128)).astype(np.float32))
+        try:
+            sec = chain(f"v3 classifier B={b}", classify, x0, batch=b)
+            print(f"   -> {b * 128 / sec / 1e6:.1f} MS/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"v3 B={b}: FAILS ({str(e)[:150]})", flush=True)
+    # v2 small-batch reference points
+    fwd = infer.make_int8_forward_v2(qm)
+    for b in (512, 1024):
+        x0 = jnp.asarray(rng.standard_normal((b, 2, 128)).astype(np.float32))
+        try:
+            sec = chain(f"v2 fwd+argmax B={b}",
+                        lambda xb: jnp.argmax(fwd(xb), axis=-1), x0, batch=b)
+            print(f"   -> {b * 128 / sec / 1e6:.1f} MS/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"v2 B={b}: FAILS ({str(e)[:150]})", flush=True)
+
+
+# -------------------------------------------------------------------- convT
+def probe_convT():
+    """Where should the tap-expand transpose live? Candidates:
+    (a) in-kernel Mosaic transpose of the (BB, 8, t1) tap-planes input;
+    (b) LHS-dim0-contracted matmul ((8, N) x (8, 512)) per frame;
+    (c) full conv1 from tap-planes: transpose + matmul + requantize.
+    """
+    w1e = rng.integers(-100, 100, (8, 512)).astype(np.int8)
+    m1 = rng.random(512).astype(np.float32) * 1e-3
+    o1 = rng.random(512).astype(np.float32)
+    xt0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, 128), np.int32).astype(np.int8))
+
+    def k_xpose(x_ref, o_ref):
+        # (BB, 8, 128) -> (BB, 128, 8) pure relayout cost
+        o_ref[:] = jnp.swapaxes(x_ref[:], 1, 2)
+
+    def f_xpose(x):
+        return pl.pallas_call(
+            k_xpose,
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((BB, 8, 128), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((BB, 128, 8), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 128, 8), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x)
+
+    try:
+        chain("in-kernel transpose (BB,8,128)->(BB,128,8)", f_xpose, xt0)
+    except Exception as e:  # noqa: BLE001
+        print(f"in-kernel transpose: FAILS ({str(e)[:120]})", flush=True)
+
+    cj = [jnp.asarray(w1e), jnp.asarray(m1), jnp.asarray(o1)]
+
+    def k_conv1_from_planes(x_ref, w_ref, m_ref, o1_ref, o_ref, *, chunk):
+        # (BB, 8, 128) tap-planes -> transpose -> conv1 matmul -> requant
+        tb = x_ref.shape[0]
+        for ci in range(tb // chunk):
+            xt = x_ref[ci * chunk: (ci + 1) * chunk]      # (chunk, 8, 128)
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * 128, 8)
+            a1 = jax.lax.dot_general(
+                xe, w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[ci * chunk * 128: (ci + 1) * chunk * 128] = requantize(
+                a1, m_ref[:], o1_ref[:], relu=True)
+
+    def f_c1p(x):
+        return pl.pallas_call(
+            functools.partial(k_conv1_from_planes, chunk=CH),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((BB, 8, 128), lambda i: (i, 0, 0))]
+            + [_spec(c) for c in cj],
+            out_specs=pl.BlockSpec((BB * 128, 512), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH * 128, 512), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, *cj)
+
+    try:
+        chain("conv1 from tap-planes (xpose+mm+rq)", f_c1p, xt0,
+              work=2 * BATCH * 128 * 8 * 512)
+    except Exception as e:  # noqa: BLE001
+        print(f"conv1 from tap-planes: FAILS ({str(e)[:120]})", flush=True)
+
+    # LHS-contract-dim-0 lowering check: (8, N)x(8, 512) per chunk
+    def k_lhsT(x_ref, w_ref, m_ref, o1_ref, o_ref, *, chunk):
+        tb = x_ref.shape[0]
+        for ci in range(tb // chunk):
+            xt = x_ref[ci * chunk]  # ONE frame (8, 128)
+            a1 = jax.lax.dot_general(
+                xt, w_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (128, 512)
+            o_ref[ci * 128: ci * 128 + 128] = requantize(
+                a1, m_ref[:], o1_ref[:], relu=True)
+
+    def f_lhsT(x):
+        bb2 = BB
+        return pl.pallas_call(
+            functools.partial(k_lhsT, chunk=1),
+            grid=(BATCH // bb2,),
+            in_specs=[pl.BlockSpec((bb2, 8, 128), lambda i: (i, 0, 0))]
+            + [_spec(c) for c in cj],
+            out_specs=pl.BlockSpec((bb2 * 128, 512), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH * 128, 512), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, *cj)
+
+    try:
+        chain("conv1 per-frame LHS-dim0 contract", f_lhsT, xt0,
+              work=2 * BATCH * 128 * 8 * 512)
+    except Exception as e:  # noqa: BLE001
+        print(f"conv1 LHS-dim0 contract: FAILS ({str(e)[:120]})", flush=True)
+
+
 PROBES = {
     "ceil": probe_ceil,
+    "convT": probe_convT,
+    "repack": probe_repack,
+    "rq2": probe_rq2,
+    "v3": probe_v3,
     "stage": probe_stage,
     "conv": probe_conv,
     "prologue": probe_prologue,

@@ -60,8 +60,21 @@ def main(argv: list[str]) -> None:
     warm_transfer_async()
 
     t0 = time.time()
-    x, y, s, classes = load_dataset(cfg.data)
-    log.info("dataset %s built in %.1fs", x.shape, time.time() - t0)
+    cache = (
+        f"{ART}/dataset_{len(cfg.data.classes)}c_"
+        f"{cfg.data.frames_per_class_per_snr}f_seed{cfg.data.seed}.npz"
+    )
+    if os.path.exists(cache) and not cfg.data.radioml_pickle:
+        z = np.load(cache, allow_pickle=False)
+        x, y, s = z["x"], z["y"], z["s"]
+        classes = cfg.data.classes
+        log.info("dataset %s loaded from cache in %.1fs", x.shape,
+                 time.time() - t0)
+    else:
+        x, y, s, classes = load_dataset(cfg.data)
+        if not cfg.data.radioml_pickle:
+            np.savez(cache, x=x, y=y, s=s)
+        log.info("dataset %s built in %.1fs", x.shape, time.time() - t0)
     (xtr, ytr, _), (xte, yte, ste) = synthetic.train_test_split(
         x, y, s, test_frac=0.2
     )

@@ -90,3 +90,41 @@ def test_expand_conv1_weights_blockdiag():
         for k in range(3):
             np.testing.assert_array_equal(we[h * 3 + k, h * 4 : (h + 1) * 4], w[k])
     assert we.sum() == 2 * w.sum()
+
+
+def test_fused_int8_v3_classifier_matches_golden_exactly(setup):
+    """v3 (taps-on-K conv2, lane-aligned, fused dense+argmax): labels must
+    equal the golden int8 chain's argmax exactly."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.golden import quant as gq
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    classify = infer.make_int8_classifier_v3(
+        qm, block_b=8, chunk=4, dense_block_b=16, interpret=True
+    )
+    got = np.asarray(classify(jnp.asarray(x)))
+    want = gq.int8_forward(qm, x).argmax(-1)
+    assert got.shape == (16,)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_int8_v3_ragged_batch(setup):
+    """v3 pads ragged batches internally and returns exactly B labels."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    classify = infer.make_int8_classifier_v3(
+        qm, block_b=8, chunk=4, dense_block_b=16, interpret=True
+    )
+    got = np.asarray(classify(jnp.asarray(x[:5])))
+    full = np.asarray(classify(jnp.asarray(x)))
+    assert got.shape == (5,)
+    np.testing.assert_array_equal(got, full[:5])
