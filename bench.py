@@ -17,8 +17,8 @@ sys.path.insert(0, "/root/repo")
 TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 
 # Verified code paths, fastest-first preference for the headline number.
-BACKENDS = ("pallas_int8_v3", "pallas_int8", "pallas_bf16", "xla_bf16",
-            "xla_int8")
+BACKENDS = ("pallas_int8_v4", "pallas_bf16_v4", "pallas_int8_v3", "pallas_int8",
+            "pallas_bf16", "xla_bf16", "xla_int8")
 
 
 def make_classifier(cfg, backend: str, batch: int):
@@ -52,6 +52,10 @@ def make_classifier(cfg, backend: str, batch: int):
 
     model = VTCNN2.from_config(cfg.model)
     params = model.init(jax.random.key(0), jnp.zeros((2, 2, frame_len)))
+    if backend == "pallas_bf16_v4":
+        from modulationdetectioncnn_tpu.ops.infer import make_bf16_classifier_v4
+
+        return make_bf16_classifier_v4(params), (x,)
     if backend == "pallas_bf16":
         from modulationdetectioncnn_tpu.ops.infer import make_bf16_forward_v2
 
@@ -59,12 +63,12 @@ def make_classifier(cfg, backend: str, batch: int):
     else:
         calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
         qm = quantize(model, params, calib)
-        if backend == "pallas_int8_v3":
-            from modulationdetectioncnn_tpu.ops.infer import (
-                make_int8_classifier_v3,
-            )
+        if backend in ("pallas_int8_v3", "pallas_int8_v4"):
+            from modulationdetectioncnn_tpu.ops import infer as _inf
 
-            return make_int8_classifier_v3(qm), (x,)  # emits labels directly
+            make = (_inf.make_int8_classifier_v4 if backend.endswith("v4")
+                    else _inf.make_int8_classifier_v3)
+            return make(qm), (x,)  # emits labels directly
         if backend == "xla_int8":
             from modulationdetectioncnn_tpu.ops.infer_xla import (
                 make_int8_forward_xla,

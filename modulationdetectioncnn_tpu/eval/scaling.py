@@ -72,7 +72,11 @@ def scaling_report(cfg: AmcConfig | None = None,
                    measured_chip_rate: float | None = None) -> dict:
     cfg = cfg or AmcConfig()
     sc = cfg.stream
-    halo = (sc.taps_per_branch - 1) * sc.num_subbands
+    # Composed front-end halo (resampler tail + channelizer FIR state +
+    # overlapping-frame reach) — see dsp/pipeline.py::plan_frontend.
+    from modulationdetectioncnn_tpu.dsp.pipeline import halo_wideband
+
+    halo = halo_wideband(sc)
     block = sc.block_len
     # 2.7M params, f32 grads
     param_bytes = 2.7e6 * 4

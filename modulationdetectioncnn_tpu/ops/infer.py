@@ -714,6 +714,311 @@ def make_int8_classifier_v3(qm, *, block_b: int = 64, chunk: int = 16,
     return classify
 
 
+# ----------------------------------------------- v4: fully lane-tile-aligned
+#
+# Probe findings behind v4 (scripts/probe.py, r2):
+#   - the (B*t1, 8) xe input tiles to 128 lanes in HBM: 16x inflation
+#     (66 MB/iter at B=4096) -> v4 ships dense (B, 8, 128) tap-planes (4 MB)
+#     and pays the lane->sublane transpose IN-KERNEL (measured 72 us total);
+#   - a misaligned N=240 dot costs +31% vs N=256 -> conv2 taps are packed at
+#     128-lane-aligned offsets (N=384), shift-add becomes two tile-aligned
+#     sublane-shifted adds;
+#   - every tensor in the chain is (…, 128k) so no relayouts anywhere; the
+#     conv output keeps 128 rows x 128 lanes per frame (garbage rows/lanes
+#     nulled by zero rows of the padded W3, same trick as v3).
+
+
+def pack_conv2_weights_tap384(w2: np.ndarray) -> np.ndarray:
+    """Flax Conv2 kernel (2, 3, Cin, Co) -> (2*Cin, 3*128) with each tap's
+    Co columns placed at a 128-lane-aligned offset:
+    W[h*Cin+cin, k*128 + co] = w2[h, k, cin, co]."""
+    w2 = np.asarray(w2)
+    kh, kw, cin, co = w2.shape
+    out = np.zeros((kh * cin, kw * _LANES), dtype=w2.dtype)
+    for k in range(kw):
+        out[:, k * _LANES : k * _LANES + co] = (
+            w2[:, k].reshape(kh * cin, co)
+        )
+    return out
+
+
+def expand_tap_planes(x_i8: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2, T) int8 -> dense tap-planes (B, 8, T): plane h*3+k holds
+    x[:, h, k:k+T-2] (2 zero tail samples); planes 6,7 zero."""
+    b, _, t_len = x_i8.shape
+    t1 = t_len - 2
+    cols = [
+        jnp.pad(x_i8[:, h, k : k + t1], [(0, 0), (0, 2)])
+        for h in range(2)
+        for k in range(3)
+    ]
+    xp = jnp.stack(cols, axis=-2)  # (B, 6, T)
+    return jnp.pad(xp, [(0, 0), (0, 2), (0, 0)])
+
+
+def _conv_stage_int8_v4_kernel(
+    xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref, *, chunk
+):
+    """Tap-planes in -> transpose -> conv1 mm -> rq -> conv2 tap-384 mm ->
+    sublane shift-add -> rq. All slices tile-aligned."""
+    tb = xp_ref.shape[0]
+    t_len = xp_ref.shape[2]  # 128 (frame rows incl. 2 pad)
+    for ci in range(tb // chunk):
+        xt = xp_ref[ci * chunk : (ci + 1) * chunk]  # (chunk, 8, T)
+        xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+        a1 = jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+        z = jax.lax.dot_general(
+            a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(chunk, t_len, 3 * _LANES)
+        s = (
+            z[:, 0 : t_len - 2, 0:_LANES]
+            + z[:, 1 : t_len - 1, _LANES : 2 * _LANES]
+            + z[:, 2:t_len, 2 * _LANES : 3 * _LANES]
+        )  # (chunk, T-2, 128); rows >= t2 are cross-frame garbage
+        s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+        o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+            s, m2_ref[:], o2_ref[:], relu=True
+        )
+
+
+def make_int8_classifier_v4(qm, *, block_b: int = 64, chunk: int = 16,
+                            dense_block_b: int = 512, interpret: bool = False):
+    """Fully-aligned fused int8 classifier: (B,2,T) f32 -> (B,) int32 labels.
+
+    Bit-exact vs golden/quant.py (integer chain unchanged; padding adds
+    exact zeros; garbage rows/lanes nulled by zero W3 rows)."""
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)  # (8, 2C) int8
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)  # (2Cin, 384) int8
+    m2p = _pad_cols(qm.m2)
+    o2p = _pad_cols(qm.o2)
+    w4 = _pad_cols(qm.w4)
+    s4 = _pad_cols(qm.s4)
+    b4 = _pad_cols(qm.b4)
+    inv_sx = float(1.0 / qm.s_x)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    @jax.jit
+    def classify(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t2 = t_in - 4
+        # W3 padded to the (T, 128) conv-output grid: row (t*128 + c) holds
+        # w3[t*c2 + c] for t < t2, c < c2, else zero (nulls the garbage).
+        w3p = pack_dense1_weights_v3(qm.w3, t2, c2, t_in)
+        dense_consts = [jnp.asarray(a) for a in
+                        (w3p, qm.m3, qm.o3, w4, s4, b4)]
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xp = expand_tap_planes(x_i8)  # (B, 8, T) dense
+        out2 = pl.pallas_call(
+            functools.partial(_conv_stage_int8_v4_kernel, chunk=chunk),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, 8, t_in), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t_in, _LANES),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t_in, _LANES), jnp.int8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * t_in * (8 + 3 * _LANES) * 512,
+                bytes_accessed=b * t_in * (_LANES + 8) + 400_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(xp, *conv_consts)
+        h = out2.reshape(b, t_in * _LANES)  # free lane-aligned reshape
+        labels = pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=nc),
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t_in * _LANES),
+                                   lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t_in * _LANES * 256 + 256 * _LANES),
+                bytes_accessed=b * (t_in * _LANES + 4) + 4_300_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return labels[:b0, 0]
+
+    return classify
+
+
+# --------------------------------------------------------------- bf16 v4
+#
+# Same fully-aligned structure as the int8 v4, in bf16: epilogues are only
+# relu+convert (2 VPU passes vs the int8 path's requantize affine), the MXU
+# runs at the bf16 rate. Rationale: the measured binder is VPU epilogue
+# work on the (B, T, 512) conv1 activation, which bf16 halves twice over
+# (fewer passes, 2x-wider packing). Beats XLA's own bf16 forward by fusing
+# away the inter-layer HBM round-trips.
+
+
+def _conv_stage_bf16_v4_kernel(
+    xp_ref, w1_ref, w2_ref, b2_ref, o_ref, *, chunk
+):
+    tb = xp_ref.shape[0]
+    t_len = xp_ref.shape[2]
+    for ci in range(tb // chunk):
+        xt = xp_ref[ci * chunk : (ci + 1) * chunk]  # (chunk, 8, T) bf16
+        xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+        a1 = jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # bias rides K-lane 6 (xe lane 6 == 1.0)
+        a1b = jnp.maximum(a1, 0.0).astype(jnp.bfloat16)
+        z = jax.lax.dot_general(
+            a1b, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(chunk, t_len, 3 * _LANES)
+        s = (
+            z[:, 0 : t_len - 2, 0:_LANES]
+            + z[:, 1 : t_len - 1, _LANES : 2 * _LANES]
+            + z[:, 2:t_len, 2 * _LANES : 3 * _LANES]
+            + b2_ref[:][None, None, :]
+        )
+        s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+        o_ref[ci * chunk : (ci + 1) * chunk] = jnp.maximum(s, 0.0).astype(
+            jnp.bfloat16
+        )
+
+
+def _dense_argmax_bf16_kernel(
+    h_ref, w3_ref, b3_ref, w4_ref, b4_ref, o_ref, *, nc
+):
+    d1 = jax.lax.dot_general(
+        h_ref[:], w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d1 = jnp.maximum(d1 + b3_ref[:], 0.0).astype(jnp.bfloat16)
+    logits = jax.lax.dot_general(
+        d1, w4_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b4_ref[:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+    logits = jnp.where(lane < nc, logits, -jnp.inf)
+    mx = jnp.max(logits, axis=-1, keepdims=True)
+    idx = jnp.where(logits >= mx, lane, _LANES)
+    o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+
+def make_bf16_classifier_v4(params: Any, *, block_b: int = 64,
+                            chunk: int = 16, dense_block_b: int = 512,
+                            interpret: bool = False):
+    """Fused fully-aligned bf16 classifier: (B,2,T) f32 -> (B,) int32."""
+    p = jax.tree.map(np.asarray, params["params"] if "params" in params
+                     else params)
+    w1p = pack_conv1_weights(p["Conv1"]["kernel"])  # (3, C)
+    w1e = expand_conv1_weights(w1p.astype(np.float32))  # (8, 2C)
+    w1e[6, :] = np.concatenate([p["Conv1"]["bias"]] * 2)  # bias lane
+    w1e = w1e.astype(jnp.bfloat16)
+    w2 = p["Conv2"]["kernel"]
+    w2k = pack_conv2_weights_tap384(w2.astype(np.float32)).astype(jnp.bfloat16)
+    b2 = _pad_cols(p["Conv2"]["bias"]).astype(np.float32)
+    c2 = p["Conv2"]["bias"].shape[0]
+    nc = p["Dense2"]["bias"].shape[0]
+    b3 = p["Dense1"]["bias"].astype(np.float32)
+    w4 = _pad_cols(p["Dense2"]["kernel"]).astype(jnp.bfloat16)
+    b4 = _pad_cols(p["Dense2"]["bias"]).astype(np.float32)
+    conv_consts = [jnp.asarray(a) for a in (w1e, w2k, b2)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    @jax.jit
+    def classify(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t2 = t_in - 4
+        w3p = pack_dense1_weights_v3(
+            p["Dense1"]["kernel"].astype(np.float32), t2, c2, t_in
+        ).astype(jnp.bfloat16)
+        dense_consts = [jnp.asarray(a) for a in (w3p, b3, w4, b4)]
+        xb = x.astype(jnp.bfloat16)
+        cols = [
+            jnp.pad(xb[:, h, k : k + t_in - 2], [(0, 0), (0, 2)])
+            for h in range(2) for k in range(3)
+        ]
+        ones = jnp.ones((b, 1, t_in), jnp.bfloat16)  # bias lane 6
+        zero = jnp.zeros((b, 1, t_in), jnp.bfloat16)
+        xp = jnp.concatenate(
+            [jnp.stack(cols, axis=-2), ones, zero], axis=-2
+        )  # (B, 8, T)
+        out2 = pl.pallas_call(
+            functools.partial(_conv_stage_bf16_v4_kernel, chunk=chunk),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, 8, t_in), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t_in, _LANES),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t_in, _LANES), jnp.bfloat16),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * t_in * (8 + 3 * _LANES) * 512,
+                bytes_accessed=b * t_in * (2 * _LANES + 16) + 400_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(xp, *conv_consts)
+        h = out2.reshape(b, t_in * _LANES)
+        labels = pl.pallas_call(
+            functools.partial(_dense_argmax_bf16_kernel, nc=nc),
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t_in * _LANES),
+                                   lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t_in * _LANES * 256 + 256 * _LANES),
+                bytes_accessed=b * (t_in * _LANES * 2 + 4) + 8_600_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return labels[:b0, 0]
+
+    return classify
+
+
 # ------------------------------------------------------------- bench helper
 
 

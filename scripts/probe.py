@@ -715,11 +715,105 @@ def probe_convT():
         print(f"conv1 LHS-dim0 contract: FAILS ({str(e)[:120]})", flush=True)
 
 
+# ----------------------------------------------------------------------- nk
+def probe_nk():
+    """M/N/K scaling law for in-kernel int8 dots with an i8 store epilogue:
+    which axis starves the MXU at conv2's shape (2016, 512, 240)?"""
+
+    def run_dot(m_rows, k, n, name=None, brq_frames=None):
+        brq = brq_frames or max(1, m_rows // T1)
+        w = jnp.asarray(rng.integers(-100, 100, (k, n)).astype(np.int8))
+        a = jnp.asarray(
+            rng.integers(0, 127, (BATCH * T1, k), np.int32).astype(np.int8))
+
+        def kern(a_ref, w_ref, o_ref):
+            z = jax.lax.dot_general(
+                a_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[:] = (z >> 9).astype(jnp.int8)
+
+        def f(av):
+            return pl.pallas_call(
+                kern,
+                grid=(BATCH // brq,),
+                in_specs=[pl.BlockSpec((brq * T1, k), lambda i: (i, 0)),
+                          pl.BlockSpec((k, n), lambda i: (0, 0))],
+                out_specs=pl.BlockSpec((brq * T1, n), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH * T1, n), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(av, w)
+
+        label = name or f"dot M={brq*T1} K={k} N={n}"
+        try:
+            chain(label, f, a, work=2 * BATCH * T1 * k * n)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: FAILS ({str(e)[:100]})", flush=True)
+
+    for n in (128, 256, 512, 1024):
+        run_dot(2016, 512, n)
+    run_dot(4032, 512, 240, brq_frames=32)
+    run_dot(2016, 512, 240)
+    run_dot(2016, 1536, 128)
+    run_dot(2016, 128, 240)
+
+    # bf16 comparison at conv2's exact shape
+    wb = jnp.asarray(rng.integers(-8, 8, (512, 240)).astype(np.float32)
+                     ).astype(jnp.bfloat16)
+    ab = jnp.asarray(
+        rng.integers(0, 16, (BATCH * T1, 512), np.int32).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def kern_b(a_ref, w_ref, o_ref):
+        z = jax.lax.dot_general(
+            a_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[:] = (jnp.maximum(z, 0.0) * 0.001).astype(jnp.bfloat16)
+
+    def f_b(av):
+        return pl.pallas_call(
+            kern_b,
+            grid=(BATCH // 16,),
+            in_specs=[pl.BlockSpec((16 * T1, 512), lambda i: (i, 0)),
+                      pl.BlockSpec((512, 240), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((16 * T1, 240), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH * T1, 240), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(av, wb)
+
+    chain("dot bf16 M=2016 K=512 N=240 (relu out)", f_b, ab,
+          work=2 * BATCH * T1 * 512 * 240, unit="TFLOPS")
+
+
+
+
+# ----------------------------------------------------------------------- v4
+def probe_v4():
+    from modulationdetectioncnn_tpu.ops import infer
+
+    qm = _qm()
+    for b in (1024, 2048, 4096):
+        for chunk in (16, 32):
+            classify = infer.make_int8_classifier_v4(qm, chunk=chunk)
+            x0 = jnp.asarray(
+                rng.standard_normal((b, 2, 128)).astype(np.float32))
+            try:
+                sec = chain(f"v4 classifier B={b} chunk={chunk}", classify,
+                            x0, batch=b)
+                print(f"   -> {b * 128 / sec / 1e6:.1f} MS/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"v4 B={b} chunk={chunk}: FAILS ({str(e)[:120]})",
+                      flush=True)
+
+
 PROBES = {
     "ceil": probe_ceil,
     "convT": probe_convT,
     "repack": probe_repack,
     "rq2": probe_rq2,
+    "v4": probe_v4,
+    "nk": probe_nk,
     "v3": probe_v3,
     "stage": probe_stage,
     "conv": probe_conv,
@@ -735,3 +829,5 @@ if __name__ == "__main__":
     for n in names:
         print(f"=== {n}", flush=True)
         PROBES[n]()
+
+

@@ -128,3 +128,35 @@ def test_int8_v3_ragged_batch(setup):
     full = np.asarray(classify(jnp.asarray(x)))
     assert got.shape == (5,)
     np.testing.assert_array_equal(got, full[:5])
+
+
+def test_fused_int8_v4_classifier_matches_golden_exactly(setup):
+    """v4 (dense tap-planes, in-kernel transpose, tile-aligned tap-384
+    conv2): labels equal the golden int8 chain's argmax exactly."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.golden import quant as gq
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    classify = infer.make_int8_classifier_v4(
+        qm, block_b=8, chunk=4, dense_block_b=16, interpret=True
+    )
+    got = np.asarray(classify(jnp.asarray(x)))
+    want = gq.int8_forward(qm, x).argmax(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_bf16_v4_classifier_agrees_with_golden(setup):
+    """bf16 v4 classifier labels agree with the float golden argmax
+    (bf16 rounding may flip genuine near-ties, hence >=, not ==)."""
+    _, params, x = setup
+    classify = infer.make_bf16_classifier_v4(
+        params, block_b=8, chunk=4, dense_block_b=16, interpret=True
+    )
+    got = np.asarray(classify(jnp.asarray(x)))
+    want = gcnn.vtcnn2_forward(params, x).argmax(-1)
+    assert got.shape == (16,)
+    assert (got == want).mean() >= 0.85
