@@ -227,14 +227,18 @@ def run_stream_bench(cfg, quiet: bool = False) -> dict:
 
 
 if __name__ == "__main__":
-    arg = sys.argv[1] if len(sys.argv) > 1 else None
     from modulationdetectioncnn_tpu.config import AmcConfig, apply_overrides
 
     cfg = AmcConfig()
-    if arg == "stream":
-        cfg = apply_overrides(cfg, ["bench.mode=stream"])
-    elif arg:
-        cfg = apply_overrides(cfg, [f"bench.backend={arg}"])
+    overrides = []
+    for arg in sys.argv[1:]:
+        if arg == "stream":
+            overrides.append("bench.mode=stream")
+        elif "=" in arg:
+            overrides.append(arg)
+        else:
+            overrides.append(f"bench.backend={arg}")
+    cfg = apply_overrides(cfg, overrides)
     try:
         run(cfg)
     except Exception as e:  # noqa: BLE001

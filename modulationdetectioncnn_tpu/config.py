@@ -134,7 +134,7 @@ class BenchConfig:
     timed_iters: int = 20
     # Measured code path (bench.py BACKENDS). The default MUST be the
     # fastest verified backend — the driver-recorded headline number.
-    backend: str = "pallas_int8"
+    backend: str = "pallas_int8_v4"
     # 'cnn' = classifier only (frames in HBM); 'stream' = full DSP chain
     # (channelize + normalize + frame + classify) on continuous wideband IQ.
     mode: str = "cnn"

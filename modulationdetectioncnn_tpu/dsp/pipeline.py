@@ -108,6 +108,9 @@ def subband_frames(
     normalized IQ frames — the whole-stream ('batch') reference path.
     Complex-free: plane-DFT channelizer + plane normalization (see
     dsp/channelizer.py — this TPU backend has no complex support)."""
+    import chex
+
+    chex.assert_axis_dimension(x, -2, 2)  # I/Q planes, never complex
     m = sc.num_subbands
     if (sc.resample_up, sc.resample_down) != (1, 1):
         x = fir.fir_resample_iq(x, design_resampler(sc), sc.resample_up,

@@ -787,7 +787,7 @@ def _conv_stage_int8_v4_kernel(
 
 
 def make_int8_classifier_v4(qm, *, block_b: int = 64, chunk: int = 16,
-                            dense_block_b: int = 512, interpret: bool = False):
+                            dense_block_b: int = 256, interpret: bool = False):
     """Fully-aligned fused int8 classifier: (B,2,T) f32 -> (B,) int32 labels.
 
     Bit-exact vs golden/quant.py (integer chain unchanged; padding adds
@@ -928,8 +928,8 @@ def _dense_argmax_bf16_kernel(
     o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
 
 
-def make_bf16_classifier_v4(params: Any, *, block_b: int = 64,
-                            chunk: int = 16, dense_block_b: int = 512,
+def make_bf16_classifier_v4(params: Any, *, block_b: int = 32,
+                            chunk: int = 8, dense_block_b: int = 64,
                             interpret: bool = False):
     """Fused fully-aligned bf16 classifier: (B,2,T) f32 -> (B,) int32."""
     p = jax.tree.map(np.asarray, params["params"] if "params" in params

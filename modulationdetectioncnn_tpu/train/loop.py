@@ -130,6 +130,14 @@ def make_device_train_step(model: VTCNN2, tx: optax.GradientTransformation,
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, data_x, data_y, step_key):
+        # Donation sanity (SURVEY.md §5 race row): params/opt_state buffers
+        # are donated — the caller must never reuse the passed-in trees.
+        # chex validates shapes/dtypes haven't drifted between steps (a
+        # silent retrace would double compile time and HBM).
+        import chex
+
+        chex.assert_rank(data_x, 3)
+        chex.assert_type(data_x, jnp.float32)
         idx_key, dropout_key = jax.random.split(step_key)
         idx = jax.random.randint(
             idx_key, (batch_size,), 0, data_x.shape[0]

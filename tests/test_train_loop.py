@@ -144,3 +144,31 @@ def test_checkpoint_roundtrip(tmp_path):
     assert step == 7
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_donated_buffers_are_not_reusable():
+    """Buffer donation really happens (SURVEY.md §5 donation-aliasing row):
+    after a train step, the donated params buffer is deleted — reusing it
+    must raise, proving no silent aliasing."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from modulationdetectioncnn_tpu.train import loop
+
+    cfg = _tiny_cfg()
+    from modulationdetectioncnn_tpu.models import VTCNN2
+    import optax
+
+    model = VTCNN2.from_config(cfg.model)
+    tx = optax.adam(1e-3)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 2, 128)))
+    opt_state = tx.init(params)
+    step = loop.make_device_train_step(model, tx, batch_size=32)
+    x = jnp.zeros((64, 2, 128), jnp.float32)
+    y = jnp.zeros((64,), jnp.int32)
+    new_params, *_ = step(params, opt_state, x, y, jax.random.key(1))
+    jax.block_until_ready(new_params)
+    leaf = jax.tree.leaves(params)[0]
+    with pytest.raises(Exception):
+        _ = float(jnp.sum(leaf))
