@@ -931,7 +931,12 @@ def _dense_argmax_bf16_kernel(
 def make_bf16_classifier_v4(params: Any, *, block_b: int = 32,
                             chunk: int = 8, dense_block_b: int = 64,
                             interpret: bool = False):
-    """Fused fully-aligned bf16 classifier: (B,2,T) f32 -> (B,) int32."""
+    """Fused fully-aligned bf16 classifier: (B,2,T) f32 -> (B,) int32.
+
+    EXPERIMENTAL: golden-tested in interpret mode, but as of 2026-08-20 the
+    Mosaic compile of the conv stage exceeds 9 minutes through this
+    platform's remote TPU compiler (the int8 v4 twin compiles in seconds).
+    Kept as the bf16 fusion reference; not in bench.py BACKENDS."""
     p = jax.tree.map(np.asarray, params["params"] if "params" in params
                      else params)
     w1p = pack_conv1_weights(p["Conv1"]["kernel"])  # (3, C)
