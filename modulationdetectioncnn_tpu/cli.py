@@ -82,19 +82,14 @@ def _make_predict_fn(cfg: AmcConfig, params=None):
         p = jax.tree.map(np.asarray, params)
         return lambda xb: gcnn.vtcnn2_predict(p, xb)
     if backend == "int8":
-        from modulationdetectioncnn_tpu.ops.infer import make_int8_forward
+        from modulationdetectioncnn_tpu.ops.infer import make_int8_predict
         from modulationdetectioncnn_tpu.train.quant import QuantizedModel
         from modulationdetectioncnn_tpu.utils import checkpoint as ckpt
 
         if not cfg.eval.int8_artifact:
             raise SystemExit("eval.backend=int8 requires eval.int8_artifact=<dir>")
         qm = QuantizedModel.from_tree(ckpt.load_tree(cfg.eval.int8_artifact))
-        fwd = make_int8_forward(qm)
-
-        @jax.jit
-        def classify(xb):
-            return jnp.argmax(fwd(xb), axis=-1)
-
+        classify = make_int8_predict(qm, cfg.eval.int8_kernel)
         return lambda xb: classify(jnp.asarray(xb))
     raise SystemExit(f"unknown eval.backend {backend!r}; use flax/int8/golden")
 

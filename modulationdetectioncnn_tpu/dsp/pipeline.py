@@ -176,15 +176,16 @@ def classify_stream(
 def check_block_alignment(sc: StreamConfig, block: int) -> int:
     """Validate block length against the plan; returns subband samples/block."""
     m, up, down = sc.num_subbands, sc.resample_up, sc.resample_down
-    assert (block * up) % down == 0, (
-        "block_len*up must be divisible by resample_down"
-    )
+    # ValueError (not assert): these are user-facing config invariants and
+    # must survive python -O (ADVICE r2 #3; matches plan_frontend).
+    if (block * up) % down != 0:
+        raise ValueError("block_len*up must be divisible by resample_down")
     bs_wide = block * up // down
-    assert bs_wide % m == 0, "resampled block must align to subbands"
+    if bs_wide % m != 0:
+        raise ValueError("resampled block must align to subbands")
     bs = bs_wide // m
-    assert bs % sc.frame_hop == 0, (
-        "per-block subband samples must align to frame_hop"
-    )
+    if bs % sc.frame_hop != 0:
+        raise ValueError("per-block subband samples must align to frame_hop")
     return bs
 
 

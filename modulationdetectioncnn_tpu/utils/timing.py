@@ -40,21 +40,17 @@ def make_sync(out_example: Any) -> Callable[[Any], float]:
     return sync
 
 
-def measure_per_iter_chained(
+def measure_per_iter_chained_samples(
     body: Callable[[Any], Any],
     carry0: Any,
     n1: int = 4,
     n2: int = 20,
-) -> float:
-    """Seconds per ``body`` application, serialized INSIDE one program.
+    repeats: int = 3,
+) -> list[float]:
+    """Per-pair estimates from ``repeats`` interleaved (n1, n2) run pairs.
 
-    ``body(carry) -> carry`` is iterated with ``jax.lax.fori_loop`` so every
-    iteration depends on the previous one — immune to any cross-dispatch
-    overlap/reordering in the runtime (observed on this tunneled platform:
-    unchained back-to-back dispatches can measure up to ~2x faster than
-    physically possible). Timing still uses the two-length difference so the
-    dispatch+sync constant cancels.
-    """
+    Exposes the individual samples so callers can report min AND median
+    (bench headline reproducibility, VERDICT r2 weak #9)."""
 
     def make_f(n: int):
         @jax.jit
@@ -73,14 +69,33 @@ def measure_per_iter_chained(
         return run
 
     run1, run2 = make_f(n1), make_f(n2)
-    # Interleave and keep the per-pair minimum: RPC jitter on this tunneled
-    # platform is large compared to µs-scale kernels, so n1/n2 must be big
-    # enough that (T2 - T1) is tens of milliseconds.
-    best = float("inf")
-    for _ in range(3):
+    samples = []
+    for _ in range(repeats):
         t1, t2 = run1(), run2()
-        best = min(best, (t2 - t1) / (n2 - n1))
-    return best
+        samples.append((t2 - t1) / (n2 - n1))
+    return samples
+
+
+def measure_per_iter_chained(
+    body: Callable[[Any], Any],
+    carry0: Any,
+    n1: int = 4,
+    n2: int = 20,
+) -> float:
+    """Seconds per ``body`` application, serialized INSIDE one program.
+
+    ``body(carry) -> carry`` is iterated with ``jax.lax.fori_loop`` so every
+    iteration depends on the previous one — immune to any cross-dispatch
+    overlap/reordering in the runtime (observed on this tunneled platform:
+    unchained back-to-back dispatches can measure up to ~2x faster than
+    physically possible). Timing still uses the two-length difference so the
+    dispatch+sync constant cancels.
+
+    Interleaves 3 (n1, n2) pairs and keeps the per-pair minimum: RPC jitter
+    on this tunneled platform is large compared to µs-scale kernels, so
+    n1/n2 must be big enough that (T2 - T1) is tens of milliseconds.
+    """
+    return min(measure_per_iter_chained_samples(body, carry0, n1, n2))
 
 
 def measure_per_iter(

@@ -807,7 +807,242 @@ def probe_v4():
                       flush=True)
 
 
+# ----------------------------------------------------------------------- r3
+def probe_r3():
+    """Round-3 breakdown + v5 hypotheses (VERDICT r2 missing #1 / next #1).
+
+    Measures, on-chip with chained timing:
+      1. v4 per-stage: XLA prologue / conv stage / dense+argmax stage / full;
+      2. conv-stage variants: grid-per-chunk pipelining, a1-requantize share
+         (astype lower bound), bf16 requantize, fused f32-in prologue (v5);
+      3. dense-stage dbb sweep;
+      4. achieved HBM copy bandwidth at the (B,128,128) int8 intermediate.
+    """
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        _conv_stage_int8_v4_kernel, _dense_argmax_int8_kernel,
+        expand_conv1_weights, expand_tap_planes, pack_conv2_weights_tap384,
+        pack_dense1_weights_v3,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    w3p = pack_dense1_weights_v3(qm.w3, T2, c2, T_IN)
+    w4 = infer._pad_cols(qm.w4)
+    s4 = infer._pad_cols(qm.s4)
+    b4 = infer._pad_cols(qm.b4)
+    dense_consts = [jnp.asarray(a) for a in (w3p, qm.m3, qm.o3, w4, s4, b4)]
+
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    dense_work = 2 * BATCH * (T_IN * 128 * 256 + 256 * 128)
+
+    # ---- 1. v4 per-stage
+    def prologue4(x):
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        return expand_tap_planes(x_i8)
+
+    chain("r3 v4 prologue (XLA quant+planes)", prologue4, x0)
+
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+
+    def conv4(xp, bb=BB, ch=CH, kern=_conv_stage_int8_v4_kernel,
+              semantics="parallel"):
+        return pl.pallas_call(
+            functools.partial(kern, chunk=ch),
+            grid=(BATCH // bb,),
+            in_specs=[pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(semantics,)),
+        )(xp, *conv_consts)
+
+    chain("r3 conv v4 (bb=64 ch=16)", conv4, xp0, work=conv_work)
+
+    h0 = jnp.asarray(
+        rng.integers(0, 80, (BATCH, T_IN * 128), np.int32).astype(np.int8))
+
+    def dense4(hb, dbb=256):
+        return pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=11),
+            grid=(BATCH // dbb,),
+            in_specs=[pl.BlockSpec((dbb, T_IN * 128), lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dbb, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(hb, *dense_consts)
+
+    chain("r3 dense+argmax v4 (dbb=256)", dense4, h0, work=dense_work)
+
+    classify = infer.make_int8_classifier_v4(qm)
+    chain("r3 full v4 classifier", classify, x0,
+          work=conv_work + dense_work)
+
+    # ---- 2. conv-stage variants
+    for bb, ch in ((16, 16), (32, 32), (128, 16), (64, 32)):
+        try:
+            chain(f"r3 conv v4 bb={bb} ch={ch}",
+                  functools.partial(conv4, bb=bb, ch=ch), xp0,
+                  work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"conv bb={bb} ch={ch}: FAILS ({str(e)[:100]})", flush=True)
+
+    def _conv_norq_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                          o2_ref, o_ref, *, chunk):
+        """TIMING ONLY (wrong math): a1 requantize replaced by a 1-pass
+        astype — isolates the VPU share of the a1 epilogue."""
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        for ci in range(tb // chunk):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            a1 = jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a1q = a1.astype(jnp.int8)  # 1 pass instead of requantize
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    chain("r3 conv a1-rq->astype (VPU share)",
+          functools.partial(conv4, kern=_conv_norq_kernel), xp0,
+          work=conv_work)
+
+    def _conv_bf16rq_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                            o2_ref, o_ref, *, chunk):
+        """TIMING ONLY: a1 requantize computed in bf16 (2x packed VPU)."""
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        m1b = m1_ref[:].astype(jnp.bfloat16)
+        o1b = (o1_ref[:] + 0.5).astype(jnp.bfloat16)
+        for ci in range(tb // chunk):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            a1 = jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            v = a1.astype(jnp.bfloat16) * m1b + o1b
+            a1q = jnp.clip(v, 0.0, 127.0).astype(jnp.int8)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    chain("r3 conv a1-rq in bf16", functools.partial(conv4,
+          kern=_conv_bf16rq_kernel), xp0, work=conv_work)
+
+    # v5: fused f32-in prologue; conv1 as 3 sublane-offset K=8 dots.
+    w1k = np.zeros((24, 512), np.int8)
+    w1p = np.asarray(qm.w1p)  # (3, 256) int8
+    for k in range(3):
+        for h in range(2):
+            w1k[k * 8 + h, h * 256 : (h + 1) * 256] = w1p[k]
+    v5_consts = [jnp.asarray(a) for a in (w1k, qm.m1, qm.o1, w2k, m2p, o2p)]
+
+    def _conv_v5_kernel(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                        o2_ref, o_ref, *, chunk, inv_sx):
+        tb = x_ref.shape[0]
+        t_len = x_ref.shape[2]
+        m = chunk * t_len
+        for ci in range(tb // chunk):
+            xb = x_ref[ci * chunk : (ci + 1) * chunk]  # (chunk, 2, T) f32
+            xt = jnp.swapaxes(xb, 1, 2).reshape(m, 2)
+            xq = jnp.clip(jnp.round(xt * inv_sx), -127.0, 127.0
+                          ).astype(jnp.int8)
+            xq = jnp.pad(xq, ((0, 2), (0, 6)))  # (m+2, 8)
+            a1 = None
+            for k in range(3):
+                d = jax.lax.dot_general(
+                    xq[k : k + m], w1_ref[k * 8 : (k + 1) * 8],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                a1 = d if a1 is None else a1 + d
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    def conv5(x, bb=BB, ch=CH):
+        return pl.pallas_call(
+            functools.partial(_conv_v5_kernel, chunk=ch, inv_sx=inv_sx),
+            grid=(BATCH // bb,),
+            in_specs=[pl.BlockSpec((bb, 2, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in v5_consts],
+            out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, *v5_consts)
+
+    try:
+        chain("r3 conv v5 fused-prologue (f32 in)", conv5, x0,
+              work=conv_work)
+        chain("r3 conv v5 bb=32 ch=32",
+              functools.partial(conv5, bb=32, ch=32), x0, work=conv_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"conv v5: FAILS ({str(e)[:200]})", flush=True)
+
+    # ---- 3. dense dbb sweep
+    for dbb in (512, 1024):
+        try:
+            chain(f"r3 dense+argmax dbb={dbb}",
+                  functools.partial(dense4, dbb=dbb), h0, work=dense_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"dense dbb={dbb}: FAILS ({str(e)[:100]})", flush=True)
+
+    # ---- 4. achieved HBM bandwidth at the intermediate's shape
+    def _copy_kernel(i_ref, o_ref):
+        o_ref[:] = i_ref[:]
+
+    def hbm_copy(hb, bb=256):
+        return pl.pallas_call(
+            _copy_kernel,
+            grid=(BATCH // bb,),
+            in_specs=[pl.BlockSpec((bb, T_IN * 128), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((bb, T_IN * 128), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN * 128), jnp.int8),
+        )(hb)
+
+    sec = chain("r3 hbm copy (B,16384) int8", hbm_copy, h0)
+    gb = 2 * BATCH * T_IN * 128 / 1e9
+    print(f"   -> achieved HBM r+w bandwidth {gb / sec:.1f} GB/s", flush=True)
+
+
 PROBES = {
+    "r3": probe_r3,
     "ceil": probe_ceil,
     "convT": probe_convT,
     "repack": probe_repack,

@@ -160,3 +160,50 @@ def test_fused_bf16_v4_classifier_agrees_with_golden(setup):
     want = gcnn.vtcnn2_forward(params, x).argmax(-1)
     assert got.shape == (16,)
     assert (got == want).mean() >= 0.85
+
+
+def test_fused_int8_v5_classifier_matches_golden_exactly(setup):
+    """v5 (fused f32 prologue: in-kernel quantize + conv1 taps-on-K):
+    labels equal the golden int8 chain's argmax exactly."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    classify = infer.make_int8_classifier_v5(
+        qm, block_b=8, chunk=4, dense_block_b=16, interpret=True
+    )
+    got = np.asarray(classify(jnp.asarray(x)))
+    want = gq.int8_forward(qm, x).argmax(-1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_expand_conv1_weights_tapk_layout():
+    w = np.arange(3 * 4, dtype=np.int8).reshape(3, 4)
+    wk = infer.expand_conv1_weights_tapk(w)
+    assert wk.shape == (24, 8)
+    for k in range(3):
+        for h in range(2):
+            np.testing.assert_array_equal(
+                wk[k * 8 + h, h * 4 : (h + 1) * 4], w[k]
+            )
+    assert wk.sum() == 2 * w.sum()
+
+
+@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5"])
+def test_make_int8_predict_all_versions_agree(setup, version):
+    """Every selectable eval kernel version produces golden labels
+    (interpret mode; on-chip parity is proven by scripts/train_eval_full)."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    classify = infer.make_int8_predict(qm, version, interpret=True)
+    got = np.asarray(classify(jnp.asarray(x)))
+    want = gq.int8_forward(qm, x).argmax(-1)
+    np.testing.assert_array_equal(got, want)
