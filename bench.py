@@ -65,11 +65,12 @@ def make_classifier(cfg, backend: str, batch: int):
     else:
         calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
         qm = quantize(model, params, calib)
-        if backend in ("pallas_int8_v3", "pallas_int8_v4"):
+        if backend in ("pallas_int8_v3", "pallas_int8_v4", "pallas_int8_v5"):
             from modulationdetectioncnn_tpu.ops import infer as _inf
 
-            make = (_inf.make_int8_classifier_v4 if backend.endswith("v4")
-                    else _inf.make_int8_classifier_v3)
+            make = {"pallas_int8_v3": _inf.make_int8_classifier_v3,
+                    "pallas_int8_v4": _inf.make_int8_classifier_v4,
+                    "pallas_int8_v5": _inf.make_int8_classifier_v5}[backend]
             return make(qm), (x,)  # emits labels directly
         if backend == "xla_int8":
             from modulationdetectioncnn_tpu.ops.infer_xla import (

@@ -1,0 +1,178 @@
+"""Per-stage bench breakdown artifact (VERDICT r2 next #1c).
+
+Measures, on the real chip with chained timing, every stage of the headline
+int8 path plus the stream chain, and writes artifacts/bench_r3.json with
+each stage's share and %-of-measured-ceiling so the verdict can see where
+the remaining time goes. The ceilings are the MEASURED dot rates from
+artifacts/bench_r2.json (460.6 int8 TOPS / 220.9 bf16 TFLOPs at 2048^3 on
+this chip), not nominal specs (VERDICT r2 weak #1).
+
+Usage: python scripts/bench_breakdown.py [out.json]
+"""
+from __future__ import annotations
+
+import functools
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from modulationdetectioncnn_tpu.utils.device import warm_transfer_async
+from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
+
+MEASURED_INT8_TOPS = 460.6e12   # artifacts/bench_r2.json kernel_ceilings
+BATCH = 4096
+T_IN = 128
+
+# Padded MACs/frame of the v4/v5 layout (conv1 tap dots + conv2 tap-384 +
+# dense1 16384x256 + dense2 256x128); useful MACs/frame of the true model.
+PADDED_MACS = T_IN * (8 * 3 + 3 * 128) * 512 + T_IN * 128 * 256 + 256 * 128
+PADDED_MACS_V4 = T_IN * (8 + 3 * 128) * 512 + T_IN * 128 * 256 + 256 * 128
+USEFUL_MACS = 126 * 6 * 256 + 124 * 1536 * 80 + 9920 * 256 + 256 * 11
+
+
+def _chain(fn, x0, n1=8, n2=40):
+    jfn = jax.jit(fn)
+
+    def body(xc):
+        out = jfn(xc)
+        probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
+        return xc + (probe * jnp.float32(1e-38)).astype(xc.dtype)
+
+    pilot = measure_per_iter_chained(body, x0, n1=4, n2=16)
+    delta = max(32, min(2000, int(0.06 / max(pilot, 1e-6))))
+    return measure_per_iter_chained(body, x0, n1=8, n2=8 + delta)
+
+
+def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
+    from modulationdetectioncnn_tpu.config import AmcConfig
+    from modulationdetectioncnn_tpu.models import VTCNN2
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    warm_transfer_async().wait(timeout=900)
+    rng = np.random.default_rng(0)
+    cfg = AmcConfig()
+    model = VTCNN2.from_config(cfg.model)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 2, T_IN)))
+    calib = rng.standard_normal((256, 2, T_IN)).astype(np.float32)
+    qm = quantize(model, params, calib)
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, T_IN)).astype(np.float32))
+
+    stages: dict[str, dict] = {}
+
+    def record(name, sec, padded_macs_per_frame):
+        rate = BATCH * T_IN / sec
+        tops = 2 * padded_macs_per_frame * BATCH / sec
+        stages[name] = {
+            "us_per_iter": round(sec * 1e6, 1),
+            "samples_per_sec": round(rate),
+            "padded_tops": round(tops / 1e12, 1),
+            "pct_of_measured_int8_ceiling": round(
+                100 * tops / MEASURED_INT8_TOPS, 1
+            ),
+        }
+        print(name, stages[name], flush=True)
+        return sec
+
+    # ---- headline kernel (v5: fused f32 prologue) per stage
+    classify5 = infer.make_int8_classifier_v5(qm)
+    sec_full5 = record("v5_full", _chain(classify5, x0), PADDED_MACS)
+
+    # conv stage alone (same consts as make_int8_classifier_v5 builds)
+    c2 = qm.m2.shape[0]
+    w1k = infer.expand_conv1_weights_tapk(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = infer.pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1k, qm.m1, qm.o1, w2k, m2p, o2p)]
+    inv_sx = float(1.0 / qm.s_x)
+
+    def _spec(a):
+        s = np.asarray(a).shape
+        return pl.BlockSpec(
+            s, (lambda i: (0,)) if len(s) == 1 else (lambda i: (0, 0)))
+
+    def conv5(x):
+        return pl.pallas_call(
+            functools.partial(infer._conv_stage_int8_v5_kernel, chunk=16,
+                              inv_sx=inv_sx),
+            grid=(BATCH // 64,),
+            in_specs=[pl.BlockSpec((64, 2, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((64, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, *conv_consts)
+
+    conv_macs = T_IN * (8 * 3 + 3 * 128) * 512
+    sec_conv = record("v5_conv_stage", _chain(conv5, x0), conv_macs)
+
+    # dense+argmax stage alone
+    w3p = infer.pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
+    w4 = infer._pad_cols(qm.w4)
+    s4 = infer._pad_cols(qm.s4)
+    b4 = infer._pad_cols(qm.b4)
+    dense_consts = [jnp.asarray(a) for a in (w3p, qm.m3, qm.o3, w4, s4, b4)]
+    h0 = jnp.asarray(
+        rng.integers(0, 80, (BATCH, T_IN * 128), np.int32).astype(np.int8))
+
+    def dense(hb):
+        return pl.pallas_call(
+            functools.partial(infer._dense_argmax_int8_kernel, nc=11),
+            grid=(BATCH // 256,),
+            in_specs=[pl.BlockSpec((256, T_IN * 128), lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((256, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(hb, *dense_consts)
+
+    dense_macs = T_IN * 128 * 256 + 256 * 128
+    sec_dense = record("v5_dense_argmax_stage", _chain(dense, h0), dense_macs)
+
+    # v4 for comparison (XLA prologue + conv + dense)
+    classify4 = infer.make_int8_classifier_v4(qm)
+    record("v4_full", _chain(classify4, x0), PADDED_MACS_V4)
+
+    def prologue4(x):
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        return infer.expand_tap_planes(x_i8)
+
+    sec_pro = _chain(prologue4, x0)
+    stages["v4_xla_prologue"] = {
+        "us_per_iter": round(sec_pro * 1e6, 1),
+        "note": "quantize+tap-planes dispatch v5 eliminates",
+    }
+
+    out = {
+        "date": "2026-08-20",
+        "batch": BATCH,
+        "device": str(jax.devices()[0]),
+        "measured_int8_ceiling_tops": MEASURED_INT8_TOPS / 1e12,
+        "padded_macs_per_frame": PADDED_MACS,
+        "useful_macs_per_frame": USEFUL_MACS,
+        "padding_overhead_x": round(PADDED_MACS / USEFUL_MACS, 3),
+        "stages": stages,
+        "stage_shares_of_full": {
+            "conv": round(sec_conv / sec_full5, 3),
+            "dense": round(sec_dense / sec_full5, 3),
+        },
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -1041,8 +1041,384 @@ def probe_r3():
     print(f"   -> achieved HBM r+w bandwidth {gb / sec:.1f} GB/s", flush=True)
 
 
+# ----------------------------------------------------------------- r3stream
+def probe_r3stream():
+    """Stream-chain per-stage costs at bench shapes (VERDICT r2 next #4):
+    which of channelize / relayouts / framing / power / CFO / timing eats
+    the 28% overhead vs CNN-only."""
+    from modulationdetectioncnn_tpu.config import AmcConfig
+    from modulationdetectioncnn_tpu.dsp import channelizer, framer, normalize
+    from modulationdetectioncnn_tpu.dsp import pipeline
+    from modulationdetectioncnn_tpu.golden.dsp import design_prototype
+    from modulationdetectioncnn_tpu.ops import infer
+
+    cfg = AmcConfig()
+    sc = cfg.stream
+    m = sc.num_subbands
+    t_len = BATCH * 128  # 524288 wideband samples/iter, as in bench stream
+    h = design_prototype(m, sc.taps_per_branch)
+    hj = jnp.asarray(np.asarray(h, np.float32))
+    x0 = jnp.asarray(rng.standard_normal((2, t_len)).astype(np.float32))
+
+    def report_rate(name, sec):
+        print(f"   -> {name}: {t_len / sec / 1e6:.1f} MS/s-equivalent",
+              flush=True)
+
+    sec = chain("s3 channelize (FIR+DFT)",
+                lambda x: channelizer.channelize(x, hj, m), x0, batch=BATCH)
+    report_rate("channelize", sec)
+
+    def chan_move(x):
+        sub = channelizer.channelize(x, hj, m)
+        return jnp.moveaxis(sub, -1, -3)
+
+    sec = chain("s3 channelize+moveaxis", chan_move, x0, batch=BATCH)
+    report_rate("channelize+moveaxis", sec)
+
+    def chan_frame(x):
+        sub = jnp.moveaxis(channelizer.channelize(x, hj, m), -1, -3)
+        fr = framer.frames_from_stream(sub, sc.frame_len, sc.frame_hop)
+        return jnp.swapaxes(fr, -2, -3)
+
+    sec = chain("s3 chan+move+frame+swap", chan_frame, x0, batch=BATCH)
+    report_rate("through framing", sec)
+
+    def chan_frame_pow(x):
+        return normalize.power_normalize(chan_frame(x))
+
+    sec = chain("s3 ..+power_normalize", chan_frame_pow, x0, batch=BATCH)
+    report_rate("through power", sec)
+
+    fr0 = jnp.asarray(
+        rng.standard_normal((m, t_len // m // 128, 2, 128)).astype(np.float32))
+
+    sec = chain("s3 cfo est+correct (frames)",
+                lambda fr: normalize.correct_cfo(
+                    fr, normalize.estimate_cfo(fr)), fr0, batch=BATCH)
+    report_rate("cfo", sec)
+
+    sec = chain("s3 timing est+correct (frames)",
+                lambda fr: normalize.correct_timing(
+                    fr, normalize.estimate_timing(fr, sc.sps), sc.sps,
+                    sc.timing_phases), fr0, batch=BATCH)
+    report_rate("timing", sec)
+
+    qm = _qm()
+    classify = infer.make_int8_classifier_v5(qm)
+    sec = chain("s3 classify v5 only (B=4096)",
+                lambda x: classify(x),
+                jnp.asarray(rng.standard_normal((BATCH, 2, 128))
+                            .astype(np.float32)), batch=BATCH)
+    report_rate("classify v5", sec)
+
+    def full_chain(x):
+        fr = pipeline.subband_frames(x, hj, sc)  # (M, F, 2, flen)
+        mm, ff = fr.shape[0], fr.shape[1]
+        return classify(fr.reshape(mm * ff, 2, fr.shape[-1]))
+
+    sec = chain("s3 FULL stream chain (cfo on)", full_chain, x0, batch=BATCH)
+    report_rate("full chain", sec)
+
+
+# ----------------------------------------------------------------------- r3b
+def probe_r3b():
+    """Round-3 probe 2, driven by r3 findings (a1-rq = 324us VPU; extra
+    dots ~200us each; dense cheap; full-vs-stages gap ~275us):
+      A. honest XLA prologue cost (sum-output defeats slice-DCE) + layouts;
+      B. software-pipelined conv kernel (next chunk's conv1 dot adjacent to
+         this chunk's VPU requantize -> scheduler can overlap MXU/VPU);
+      C. conv2 N=512 vs N=384 (in-kernel flatness);
+      D. rq pass-cost calibration (drop the min-127 pass, timing only);
+      E. multi-dim (t,c)x(t,c,n) dense1 contraction compile test;
+      F. if E lowers: whole-network single kernel (labels out).
+    """
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        _conv_stage_int8_v4_kernel, expand_conv1_weights, expand_tap_planes,
+        pack_conv2_weights_tap384, pack_dense1_weights_v3,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+
+    # ---- A. honest prologue costs (carry bump uses a FULL-output sum so
+    # XLA cannot slice away the computation)
+    def chain_sum(name, fn, x0c, batch=BATCH):
+        jfn = jax.jit(fn)
+
+        def body(xc):
+            out = jfn(xc)
+            probe = jnp.sum(out.astype(jnp.float32) * jnp.float32(1e-30))
+            return xc + (probe * jnp.float32(1e-8)).astype(xc.dtype)
+
+        pilot = measure_per_iter_chained(body, x0c, n1=4, n2=16)
+        delta = max(32, min(3000, int(0.06 / max(pilot, 1e-6))))
+        sec = measure_per_iter_chained(body, x0c, n1=8, n2=8 + delta)
+        report(name, sec, None, batch=batch)
+        return sec
+
+    def pro_cur(x):
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        return expand_tap_planes(x_i8)
+
+    chain_sum("r3b prologue (B,8,T) honest", pro_cur, x0)
+
+    def pro_pof(x):
+        """Planes-outermost (8, B, T): each plane a clean (B, T) tile write."""
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        t1 = x.shape[-1] - 2
+        cols = [
+            jnp.pad(x_i8[:, h, k : k + t1], [(0, 0), (0, 2)])
+            for h in range(2) for k in range(3)
+        ]
+        xp = jnp.stack(cols, axis=0)  # (6, B, T)
+        return jnp.pad(xp, [(0, 2), (0, 0), (0, 0)])
+
+    chain_sum("r3b prologue (8,B,T) planes-outer", pro_pof, x0)
+
+    def pro_quant(x):
+        return jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+
+    chain_sum("r3b prologue quantize only", pro_quant, x0)
+
+    # ---- B. software-pipelined conv kernel
+    def _conv_pipe_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                          o2_ref, o_ref, *, chunk):
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1 = dot1(0)
+        for ci in range(n):
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            if ci + 1 < n:
+                a1 = dot1(ci + 1)  # independent MXU work beside the VPU rq
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+
+    def conv_run(kern, consts, bb=128, ch=16, out_lanes=128):
+        def f(xp):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+                + [_spec(a) for a in consts],
+                out_specs=pl.BlockSpec((bb, T_IN, out_lanes),
+                                       lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, out_lanes),
+                                               jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(xp, *consts)
+        return f
+
+    for bb, ch in ((128, 16), (64, 16), (128, 32)):
+        try:
+            chain(f"r3b conv PIPELINED bb={bb} ch={ch}",
+                  conv_run(_conv_pipe_kernel, conv_consts, bb, ch), xp0,
+                  work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"pipe bb={bb} ch={ch}: FAILS ({str(e)[:120]})", flush=True)
+
+    # ---- C. conv2 N=512 (pure pad) vs N=384: in-kernel flatness
+    w2k512 = np.zeros((512, 512), np.int8)
+    w2k512[:, :384] = np.asarray(w2k)
+    consts512 = [jnp.asarray(a) for a in
+                 (w1e, qm.m1, qm.o1, w2k512, m2p, o2p)]
+
+    def _conv_n512_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                          o2_ref, o_ref, *, chunk):
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        for ci in range(tb // chunk):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            a1 = jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 4 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    try:
+        chain("r3b conv2 N=512 (flatness test)",
+              conv_run(_conv_n512_kernel, consts512, 64, 16), xp0,
+              work=conv_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"N=512: FAILS ({str(e)[:120]})", flush=True)
+
+    # ---- D. rq pass-cost: drop the min-127 pass (timing only, wrong math)
+    def _conv_rq4_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                         o2_ref, o_ref, *, chunk):
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        for ci in range(tb // chunk):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            a1 = jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            v = a1.astype(jnp.float32) * m1_ref[:] + (o1_ref[:] + 0.5)
+            a1q = jnp.maximum(v, 0.0).astype(jnp.int8)  # no min pass
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    chain("r3b conv rq-no-min (pass cost)",
+          conv_run(_conv_rq4_kernel, conv_consts, 64, 16), xp0,
+          work=conv_work)
+
+    # ---- E. multi-dim dense1 contraction on-chip
+    w3_3d = jnp.asarray(
+        np.asarray(pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN))
+        .reshape(T_IN, 128, 256))
+    h3 = jnp.asarray(
+        rng.integers(0, 80, (BATCH, T_IN, 128), np.int32).astype(np.int8))
+
+    def _md_kernel(h_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            h_ref[:], w_ref[:], (((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def d_md(hb, dbb=256):
+        return pl.pallas_call(
+            _md_kernel,
+            grid=(BATCH // dbb,),
+            in_specs=[pl.BlockSpec((dbb, T_IN, 128), lambda i: (i, 0, 0)),
+                      pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))],
+            out_specs=pl.BlockSpec((dbb, 256), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 256), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(hb, w3_3d)
+
+    md_ok = False
+    try:
+        chain("r3b dense1 3D contract (t,c)x(t,c,n)", d_md, h3,
+              work=2 * BATCH * T_IN * 128 * 256)
+        md_ok = True
+    except Exception as e:  # noqa: BLE001
+        print(f"3D contract: FAILS ({str(e)[:160]})", flush=True)
+
+    # ---- F. whole-network single kernel (conv + dense1 via per-chunk 3D
+    # contract + dense2 + argmax -> labels), if E lowers
+    if md_ok:
+        w4 = infer._pad_cols(qm.w4)
+        s4 = infer._pad_cols(qm.s4)
+        b4 = infer._pad_cols(qm.b4)
+        full_consts = [jnp.asarray(a) for a in
+                       (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+        dense_full = [w3_3d] + [jnp.asarray(a) for a in
+                                (qm.m3, qm.o3, w4, s4, b4)]
+
+        def _whole_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                          o2_ref, w3_ref, m3_ref, o3_ref, w4_ref, s4_ref,
+                          b4_ref, o_ref, *, chunk):
+            tb = xp_ref.shape[0]
+            t_len = xp_ref.shape[2]
+            for ci in range(tb // chunk):
+                xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+                xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+                a1 = jax.lax.dot_general(
+                    xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+                z = jax.lax.dot_general(
+                    a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).reshape(chunk, t_len, 3 * 128)
+                s = (z[:, 0 : t_len - 2, 0:128]
+                     + z[:, 1 : t_len - 1, 128:256]
+                     + z[:, 2:t_len, 256:384])
+                s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+                sq = requantize(s, m2_ref[:], o2_ref[:], relu=True)
+                acc3 = jax.lax.dot_general(
+                    sq, w3_ref[:], (((1, 2), (0, 1)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                a3 = requantize(acc3, m3_ref[:], o3_ref[:], relu=True)
+                acc4 = jax.lax.dot_general(
+                    a3, w4_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+                lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+                logits = jnp.where(lane < 11, logits, -jnp.inf)
+                mx = jnp.max(logits, axis=-1, keepdims=True)
+                idx = jnp.where(logits >= mx, lane, 128)
+                o_ref[ci * chunk : (ci + 1) * chunk] = jnp.min(
+                    idx, axis=-1, keepdims=True)
+
+        def whole(xp, bb=64, ch=16):
+            return pl.pallas_call(
+                functools.partial(_whole_kernel, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+                + [_spec(a) for a in full_consts]
+                + [pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))]
+                + [_spec(a) for a in dense_full[1:]],
+                out_specs=pl.BlockSpec((bb, 1), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(xp, *full_consts, *dense_full)
+
+        for bb, ch in ((64, 16), (128, 16)):
+            try:
+                chain(f"r3b WHOLE-NET kernel bb={bb} ch={ch}",
+                      functools.partial(whole, bb=bb, ch=ch), xp0,
+                      work=conv_work + 2 * BATCH * (T_IN * 128 * 256
+                                                    + 256 * 128))
+            except Exception as e:  # noqa: BLE001
+                print(f"whole bb={bb} ch={ch}: FAILS ({str(e)[:140]})",
+                      flush=True)
+
+
 PROBES = {
     "r3": probe_r3,
+    "r3b": probe_r3b,
+    "r3stream": probe_r3stream,
     "ceil": probe_ceil,
     "convT": probe_convT,
     "repack": probe_repack,
