@@ -52,6 +52,46 @@ def frames_from_stream(
     hop = hop or frame_len
     t_len = x.shape[-1]
     n_frames = (t_len - frame_len) // hop + 1 if t_len >= frame_len else 0
+    if n_frames <= 0:
+        shape = x.shape[:-1] + (0, frame_len)
+        return jnp.zeros(shape, x.dtype)
+    # Fast paths (measured: the gather formulation costs ~116us/iter at
+    # stream-bench shapes, scripts/probe.py r3stream): when hop divides
+    # frame_len, framing is pure reshapes — frame i = q*r + s (r = flen/hop)
+    # comes from the length-flen reshape of x shifted by s*hop, interleaved
+    # back on a new axis. hop == frame_len degenerates to ONE reshape.
+    if frame_len % hop == 0:
+        r = frame_len // hop
+        if r == 1:
+            n_full = t_len // frame_len
+            out = x[..., : n_full * frame_len].reshape(
+                x.shape[:-1] + (n_full, frame_len)
+            )
+            return out[..., :n_frames, :]
+        qs = []
+        for s in range(r):
+            xs = x[..., s * hop :]
+            q = (xs.shape[-1]) // frame_len
+            qs.append(q)
+        q_min = min(qs)
+        parts = [
+            x[..., s * hop : s * hop + q_min * frame_len].reshape(
+                x.shape[:-1] + (q_min, frame_len)
+            )
+            for s in range(r)
+        ]
+        out = jnp.stack(parts, axis=-2)  # (..., q_min, r, flen)
+        out = out.reshape(x.shape[:-1] + (q_min * r, frame_len))
+        if out.shape[-2] < n_frames:
+            # ragged tail frames the interleave missed: gather just those
+            starts = jnp.arange(out.shape[-2], n_frames) * hop
+            tail = jnp.moveaxis(
+                jax.vmap(
+                    lambda s: jax.lax.dynamic_slice_in_dim(
+                        x, s, frame_len, axis=-1)
+                )(starts), 0, -2)
+            out = jnp.concatenate([out, tail], axis=-2)
+        return out[..., :n_frames, :]
     starts = jnp.arange(n_frames) * hop
     return jnp.moveaxis(
         jax.vmap(

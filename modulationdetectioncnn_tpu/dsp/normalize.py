@@ -122,10 +122,15 @@ def correct_timing(
     tau_c = tau wrapped to [-sps/2, sps/2). Golden twin:
     golden/dsp.py::correct_timing (polyphase fractional delay).
 
-    x: (..., 2, T) f32 planes; tau: (...) samples. TPU-native formulation:
-    the P-phase bank runs as ONE grouped real conv (the interpolator's MACs
-    are ~P*taps*T per frame — noise vs the CNN's 18M), then per-frame
-    phase/offset selection is two take_along_axis gathers.
+    x: (..., 2, T) f32 planes; tau: (...) samples. TPU-native formulation
+    (r3: the earlier all-phases grouped conv materialized a (B, 2P, T+taps)
+    bank — ~142 MB at stream-bench shapes, measured 4.4 ms/iter,
+    scripts/probe.py r3stream): per frame only ONE phase filter is ever
+    used, so gather that phase's taps+1 weights (a (B, taps+1) table
+    lookup), apply the integer delay with one take_along_axis, and run the
+    fractional-delay FIR as taps+1 shifted multiply-accumulates with
+    per-frame scalar weights — ~10 light passes over the frames instead of
+    a 32x-inflated bank.
     """
     p_n, t_n = n_phases, taps_per_phase
     g = _interp_bank(p_n, t_n)  # (P, taps+1)
@@ -137,19 +142,21 @@ def correct_timing(
     tau_c = ((tau + sps / 2.0) % sps) - sps / 2.0
     s = jnp.round(tau_c * p_n).astype(jnp.int32) + c
     d, p = s // p_n, s % p_n  # integer delay + phase per frame
-    # Grouped conv: both planes filtered by all P phases in one call.
+    d = d.reshape(b)
     lhs = x.reshape(b, 2, t_len).astype(jnp.float32)
-    rhs = jnp.asarray(np.tile(g[:, None, ::-1], (2, 1, 1)))  # (2P, 1, taps+1)
-    bank = jax.lax.conv_general_dilated(
-        lhs, rhs, window_strides=(1,), padding=[(t_n, t_n)],
-        feature_group_count=2, dimension_numbers=("NCW", "OIW", "NCW"),
-    )  # (b, 2P, T + taps): bank[:, h*P + p, m] = (x_h conv g_p)[m]
-    bank = bank.reshape(b, 2, p_n, t_len + t_n)
-    pf = p.reshape(b)[:, None, None, None]
-    sel = jnp.take_along_axis(bank, pf, axis=2)[:, :, 0, :]  # (b, 2, T+taps)
-    idx = jnp.arange(t_len)[None, None, :] + d.reshape(b)[:, None, None]
-    idx = jnp.clip(idx, 0, t_len + t_n - 1)
-    out = jnp.take_along_axis(sel, idx, axis=-1)  # (b, 2, T)
+    # grev[p, i] == the reversed phase filter the conv formulation applied:
+    # y[n] = sum_i x_pad[n + d + i] * grev[p, i],  x_pad = pad(x, t_n each).
+    grev = jnp.asarray(np.ascontiguousarray(g[:, ::-1]))  # (P, taps+1)
+    w = grev[p.reshape(b)]  # (b, taps+1) per-frame taps
+    xp = jnp.pad(lhs, [(0, 0), (0, 0), (t_n, t_n)])  # (b, 2, T + 2*t_n)
+    # Integer delay: xd[j] = x_pad[j + d]  (d in [0, t_n] for valid configs —
+    # the conv formulation's clip never binds there; keep it for parity).
+    idx = jnp.arange(t_len + t_n)[None, None, :] + d[:, None, None]
+    idx = jnp.clip(idx, 0, t_len + 2 * t_n - 1)
+    xd = jnp.take_along_axis(xp, idx, axis=-1)  # (b, 2, T + t_n)
+    out = jnp.zeros((b, 2, t_len), jnp.float32)
+    for i in range(t_n + 1):
+        out = out + xd[:, :, i : i + t_len] * w[:, i][:, None, None]
     return out.reshape(lead + (2, t_len)).astype(jnp.float32)
 
 

@@ -870,12 +870,145 @@ def make_int8_classifier_v4(qm, *, block_b: int = 64, chunk: int = 16,
     return classify
 
 
+# ------------------------------------------- v6: software-pipelined conv
+#
+# Measured (scripts/probe.py r3/r3b, 2026-08-20): v4's conv stage spends
+# 324us of its 1071us in the a1 requantize — pure VPU work serialized
+# against the MXU dots. v6 software-pipelines the chunk loop: the NEXT
+# chunk's conv1 dot (MXU, independent) is issued between this chunk's a1
+# requantize (VPU) and conv2 dot, giving the scheduler adjacent independent
+# MXU/VPU work. Measured: 751us vs 1071us — the requantize hides
+# completely. Math is IDENTICAL to v4 (same ops, reordered), so v6 stays
+# bit-exact vs golden/quant.py.
+
+
+def _conv_stage_int8_v6_kernel(
+    xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref, *, chunk
+):
+    """v4 conv stage, software-pipelined one chunk deep."""
+    tb = xp_ref.shape[0]
+    t_len = xp_ref.shape[2]
+    n = tb // chunk
+
+    def dot1(ci):
+        xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+        xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+        return jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    a1 = dot1(0)
+    for ci in range(n):
+        a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+        if ci + 1 < n:
+            a1 = dot1(ci + 1)  # independent MXU work beside the VPU rq
+        z = jax.lax.dot_general(
+            a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(chunk, t_len, 3 * _LANES)
+        s = (
+            z[:, 0 : t_len - 2, 0:_LANES]
+            + z[:, 1 : t_len - 1, _LANES : 2 * _LANES]
+            + z[:, 2:t_len, 2 * _LANES : 3 * _LANES]
+        )
+        s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+        o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+            s, m2_ref[:], o2_ref[:], relu=True
+        )
+
+
+def make_int8_classifier_v6(qm, *, block_b: int = 64, chunk: int = 16,
+                            dense_block_b: int = 512, interpret: bool = False):
+    """Pipelined fused int8 classifier: (B,2,T) f32 -> (B,) int32 labels.
+
+    v4 structure (XLA quantize+tap-planes prologue — measured 13us honest,
+    probe r3b — then two Pallas kernels) with the conv chunk loop
+    software-pipelined. Bit-exact vs golden/quant.py."""
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)  # (8, 2C) int8
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)  # (2Cin, 384) int8
+    m2p = _pad_cols(qm.m2)
+    o2p = _pad_cols(qm.o2)
+    w4 = _pad_cols(qm.w4)
+    s4 = _pad_cols(qm.s4)
+    b4 = _pad_cols(qm.b4)
+    inv_sx = float(1.0 / qm.s_x)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    @jax.jit
+    def classify(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t2 = t_in - 4
+        w3p = pack_dense1_weights_v3(qm.w3, t2, c2, t_in)
+        dense_consts = [jnp.asarray(a) for a in
+                        (w3p, qm.m3, qm.o3, w4, s4, b4)]
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xp = expand_tap_planes(x_i8)  # (B, 8, T) dense
+        out2 = pl.pallas_call(
+            functools.partial(_conv_stage_int8_v6_kernel, chunk=chunk),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, 8, t_in), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t_in, _LANES),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t_in, _LANES), jnp.int8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * t_in * (8 + 3 * _LANES) * 512,
+                bytes_accessed=b * t_in * (_LANES + 8) + 400_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(xp, *conv_consts)
+        h = out2.reshape(b, t_in * _LANES)
+        labels = pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=nc),
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t_in * _LANES),
+                                   lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t_in * _LANES * 256 + 256 * _LANES),
+                bytes_accessed=b * (t_in * _LANES + 4) + 4_300_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return labels[:b0, 0]
+
+    return classify
+
+
 def make_int8_predict(qm, version: str = "v4", *, interpret: bool = False):
     """Version-selectable int8 label predictor: (B,2,T) f32 -> (B,) int32.
 
     The eval/quantize CLI routes through this so the accuracy artifact can
     (and by default does) exercise the SAME kernel the bench headline
     measures (VERDICT r2 weak #3 / next #3)."""
+    if version == "v6":
+        return make_int8_classifier_v6(qm, interpret=interpret)
     if version == "v5":
         return make_int8_classifier_v5(qm, interpret=interpret)
     if version == "v4":

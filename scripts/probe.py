@@ -1415,9 +1415,255 @@ def probe_r3b():
                       flush=True)
 
 
+# ----------------------------------------------------------------------- r3c
+def probe_r3c():
+    """Round-3 probe 3: dense-stage options to kill the ~260us flatten copy
+    (r3b: (B,128,128)->(B,16384) int8 reshape is a physical re-tile), and
+    deeper conv pipelining.
+      A. pipe2 conv (both epilogues interleaved with both dots);
+      B. copy+dense end-to-end (confirms the copy cost);
+      C. batched dot_general over t (compile feasibility + rate);
+      D. per-t unrolled dense from the 3D tensor;
+      E. v6-now end-to-end (prologue + pipe conv + copy + dense dbb=512).
+    """
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        _dense_argmax_int8_kernel, expand_conv1_weights, expand_tap_planes,
+        pack_conv2_weights_tap384, pack_dense1_weights_v3,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    w3p = pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
+    w4 = infer._pad_cols(qm.w4)
+    s4 = infer._pad_cols(qm.s4)
+    b4 = infer._pad_cols(qm.b4)
+    dense_consts = [jnp.asarray(a) for a in (w3p, qm.m3, qm.o3, w4, s4, b4)]
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    dense_work = 2 * BATCH * (T_IN * 128 * 256 + 256 * 128)
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+    h3 = jnp.asarray(
+        rng.integers(0, 80, (BATCH, T_IN, 128), np.int32).astype(np.int8))
+
+    # ---- A. pipe2: 2-deep software pipeline
+    def _conv_pipe2_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                           o2_ref, o_ref, *, chunk):
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1 = dot1(0)
+        a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+        z_prev = jax.lax.dot_general(
+            a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        if n > 1:
+            a1 = dot1(1)
+        for ci in range(n):
+            z = z_prev.reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            if ci + 1 < n:
+                a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+                z_prev = jax.lax.dot_general(
+                    a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+            if ci + 2 < n:
+                a1 = dot1(ci + 2)
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    def conv_run(kern, consts, bb=64, ch=16):
+        def f(xp):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+                + [_spec(a) for a in consts],
+                out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(xp, *consts)
+        return f
+
+    for bb, ch in ((64, 16), (64, 8), (32, 16)):
+        try:
+            chain(f"r3c conv pipe2 bb={bb} ch={ch}",
+                  conv_run(_conv_pipe2_kernel, conv_consts, bb, ch), xp0,
+                  work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"pipe2 bb={bb} ch={ch}: FAILS ({str(e)[:120]})", flush=True)
+
+    # ---- B. copy + dense end-to-end (the v4 dense path from the 3D tensor)
+    def dense4(hb, dbb=512):
+        h2 = hb.reshape(BATCH, T_IN * 128)
+        return pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=11),
+            grid=(BATCH // dbb,),
+            in_specs=[pl.BlockSpec((dbb, T_IN * 128), lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dbb, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(h2, *dense_consts)
+
+    chain("r3c copy+dense (3D in, reshape, dense)", dense4, h3,
+          work=dense_work)
+
+    # ---- C. batched dot_general over t
+    w3_3d = jnp.asarray(np.asarray(w3p).reshape(T_IN, 128, 256))
+    h3t = jnp.asarray(
+        rng.integers(0, 80, (T_IN, BATCH // 32, 128), np.int32)
+        .astype(np.int8))
+
+    def _bdot_kernel(h_ref, w_ref, o_ref):
+        p = jax.lax.dot_general(
+            h_ref[:], w_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)  # (T, bb, 256)
+        o_ref[:] = jnp.sum(p, axis=0)
+
+    def bdot(hb, bbt=32):
+        return pl.pallas_call(
+            _bdot_kernel,
+            grid=((BATCH // 32) // bbt,),
+            in_specs=[pl.BlockSpec((T_IN, bbt, 128), lambda i: (0, i, 0)),
+                      pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))],
+            out_specs=pl.BlockSpec((bbt, 256), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH // 32, 256), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(hb, w3_3d)
+
+    try:
+        chain("r3c batched-dot dense1 (t batch dim)", bdot, h3t,
+              work=2 * (BATCH // 32) * T_IN * 128 * 256, batch=BATCH // 32)
+    except Exception as e:  # noqa: BLE001
+        print(f"batched dot: FAILS ({str(e)[:160]})", flush=True)
+
+    # ---- D. per-t unrolled dense from 3D (no copy)
+    def _dense3d_kernel(h_ref, w3_ref, m3_ref, o3_ref, w4_ref, s4_ref,
+                        b4_ref, o_ref):
+        acc = None
+        for t in range(T_IN):
+            d = jax.lax.dot_general(
+                h_ref[:, t, :], w3_ref[t],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc = d if acc is None else acc + d
+        a3 = requantize(acc, m3_ref[:], o3_ref[:], relu=True)
+        acc4 = jax.lax.dot_general(
+            a3, w4_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(lane < 11, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        idx = jnp.where(logits >= mx, lane, 128)
+        o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+    dense3d_consts = [w3_3d] + [jnp.asarray(a) for a in
+                                (qm.m3, qm.o3, w4, s4, b4)]
+
+    def dense3d(hb, dbb=256):
+        return pl.pallas_call(
+            _dense3d_kernel,
+            grid=(BATCH // dbb,),
+            in_specs=[pl.BlockSpec((dbb, T_IN, 128), lambda i: (i, 0, 0)),
+                      pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))]
+            + [_spec(a) for a in dense3d_consts[1:]],
+            out_specs=pl.BlockSpec((dbb, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(hb, *dense3d_consts)
+
+    for dbb in (256, 128):
+        try:
+            chain(f"r3c dense3d per-t dots dbb={dbb}",
+                  functools.partial(dense3d, dbb=dbb), h3, work=dense_work)
+            break
+        except Exception as e:  # noqa: BLE001
+            print(f"dense3d dbb={dbb}: FAILS ({str(e)[:140]})", flush=True)
+
+    # ---- E. v6-now end-to-end: prologue + pipe conv + copy + dense
+    def _conv_pipe_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                          o2_ref, o_ref, *, chunk):
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1 = dot1(0)
+        for ci in range(n):
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            if ci + 1 < n:
+                a1 = dot1(ci + 1)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                s, m2_ref[:], o2_ref[:], relu=True)
+
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+    convp = conv_run(_conv_pipe_kernel, conv_consts, 64, 16)
+
+    def v6_now(x):
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xp = expand_tap_planes(x_i8)
+        out2 = convp(xp)
+        return dense4(out2)
+
+    chain("r3c v6-now full (pipe conv + copy + dense)", v6_now, x0,
+          work=conv_work + dense_work)
+
+    def v6_3d(x):
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xp = expand_tap_planes(x_i8)
+        out2 = convp(xp)
+        return dense3d(out2)
+
+    try:
+        chain("r3c v6-3d full (pipe conv + dense3d)", v6_3d, x0,
+              work=conv_work + dense_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"v6-3d: FAILS ({str(e)[:120]})", flush=True)
+
+
 PROBES = {
     "r3": probe_r3,
     "r3b": probe_r3b,
+    "r3c": probe_r3c,
     "r3stream": probe_r3stream,
     "ceil": probe_ceil,
     "convT": probe_convT,

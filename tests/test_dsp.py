@@ -203,3 +203,29 @@ def test_frames_from_stream():
     iq = np.asarray(framer.iq_frames(framer.frames_from_stream(x, 128)))
     assert iq.shape == (7, 2, 128)
     assert iq.dtype == np.float32
+
+
+def test_frames_from_stream_fast_paths_match_gather():
+    """The reshape fast paths (hop == frame_len, hop | frame_len) must equal
+    the general dynamic-slice formulation frame-for-frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from modulationdetectioncnn_tpu.dsp import framer
+
+    rng = np.random.default_rng(123)
+    x = jnp.asarray(rng.standard_normal((3, 2, 517)).astype(np.float32))
+
+    def reference(xa, flen, hop):
+        t_len = xa.shape[-1]
+        n = (t_len - flen) // hop + 1
+        starts = jnp.arange(n) * hop
+        return jnp.moveaxis(
+            jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
+                xa, s, flen, axis=-1))(starts), 0, -2)
+
+    for flen, hop in [(128, 128), (128, 64), (128, 32), (64, 16), (100, 7)]:
+        got = framer.frames_from_stream(x, flen, hop)
+        want = reference(x, flen, hop)
+        assert got.shape == want.shape, (flen, hop, got.shape, want.shape)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
