@@ -56,11 +56,15 @@ def estimate_cfo(x: jnp.ndarray, order: int = 4, pad_factor: int = 4) -> jnp.nda
     spec2 = zr * zr + zi * zi  # |Z|^2: same argmax as |Z|
     k = jnp.argmax(spec2, axis=-1)
     # Parabolic interpolation needs |Z| (not |Z|^2) at k-1, k, k+1 to match
-    # the golden's magnitude-domain parabola.
+    # the golden's magnitude-domain parabola. Gather-free: minor-dim
+    # take_along_axis lowers as a pathologically slow gather on this TPU
+    # backend (measured on the timing path, scripts/probe.py r3stream), so
+    # select via masked row-reductions instead — 3 cheap passes over spec2.
+    lanes = jax.lax.broadcasted_iota(jnp.int32, spec2.shape, spec2.ndim - 1)
+
     def mag_at(idx):
-        return jnp.sqrt(
-            jnp.take_along_axis(spec2, (idx % n)[..., None], -1)[..., 0]
-        )
+        sel = (idx % n)[..., None] == lanes
+        return jnp.sqrt(jnp.max(jnp.where(sel, spec2, 0.0), axis=-1))
 
     alpha, beta, gamma = mag_at(k - 1), mag_at(k), mag_at(k + 1)
     denom = alpha - 2 * beta + gamma
@@ -146,17 +150,25 @@ def correct_timing(
     lhs = x.reshape(b, 2, t_len).astype(jnp.float32)
     # grev[p, i] == the reversed phase filter the conv formulation applied:
     # y[n] = sum_i x_pad[n + d + i] * grev[p, i],  x_pad = pad(x, t_n each).
+    # Gather-free formulation (minor-dim gathers are pathologically slow on
+    # this backend): fold the integer delay d into the filter by scattering
+    # the taps+1 phase weights into a 2*t_n+1-tap per-frame filter
+    # c[j] = w[j - d], then run 2*t_n+1 shifted scalar-broadcast MACs.
+    # The phase-table lookup is a one-hot (b, P) @ (P, taps+1) matmul.
     grev = jnp.asarray(np.ascontiguousarray(g[:, ::-1]))  # (P, taps+1)
-    w = grev[p.reshape(b)]  # (b, taps+1) per-frame taps
-    xp = jnp.pad(lhs, [(0, 0), (0, 0), (t_n, t_n)])  # (b, 2, T + 2*t_n)
-    # Integer delay: xd[j] = x_pad[j + d]  (d in [0, t_n] for valid configs —
-    # the conv formulation's clip never binds there; keep it for parity).
-    idx = jnp.arange(t_len + t_n)[None, None, :] + d[:, None, None]
-    idx = jnp.clip(idx, 0, t_len + 2 * t_n - 1)
-    xd = jnp.take_along_axis(xp, idx, axis=-1)  # (b, 2, T + t_n)
-    out = jnp.zeros((b, 2, t_len), jnp.float32)
+    ph = jax.nn.one_hot(p.reshape(b), p_n, dtype=jnp.float32)
+    w = ph @ grev  # (b, taps+1)
+    n_big = 2 * t_n + 1
+    jlane = jnp.arange(n_big, dtype=jnp.int32)[None, :]  # (1, 2t+1)
+    cbig = jnp.zeros((b, n_big), jnp.float32)
     for i in range(t_n + 1):
-        out = out + xd[:, :, i : i + t_len] * w[:, i][:, None, None]
+        cbig = cbig + jnp.where(
+            jlane == (d[:, None] + i), w[:, i][:, None], 0.0
+        )
+    xp = jnp.pad(lhs, [(0, 0), (0, 0), (t_n, t_n)])  # (b, 2, T + 2*t_n)
+    out = jnp.zeros((b, 2, t_len), jnp.float32)
+    for j in range(n_big):
+        out = out + xp[:, :, j : j + t_len] * cbig[:, j][:, None, None]
     return out.reshape(lead + (2, t_len)).astype(jnp.float32)
 
 

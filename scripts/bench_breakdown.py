@@ -1,11 +1,11 @@
 """Per-stage bench breakdown artifact (VERDICT r2 next #1c).
 
 Measures, on the real chip with chained timing, every stage of the headline
-int8 path plus the stream chain, and writes artifacts/bench_r3.json with
-each stage's share and %-of-measured-ceiling so the verdict can see where
-the remaining time goes. The ceilings are the MEASURED dot rates from
-artifacts/bench_r2.json (460.6 int8 TOPS / 220.9 bf16 TFLOPs at 2048^3 on
-this chip), not nominal specs (VERDICT r2 weak #1).
+int8 path and writes artifacts/bench_r3.json with each stage's share and
+%-of-measured-ceiling so the verdict can see where the remaining time goes.
+The ceiling is the MEASURED int8 dot rate from artifacts/bench_r2.json
+(460.6 TOPS at 2048^3 on this chip), not the nominal spec
+(VERDICT r2 weak #1).
 
 Usage: python scripts/bench_breakdown.py [out.json]
 """
@@ -30,18 +30,23 @@ MEASURED_INT8_TOPS = 460.6e12   # artifacts/bench_r2.json kernel_ceilings
 BATCH = 4096
 T_IN = 128
 
-# Padded MACs/frame of the v4/v5 layout (conv1 tap dots + conv2 tap-384 +
+# Padded MACs/frame of the v4/v6 layout (conv1 K=8 dot + conv2 tap-384 +
 # dense1 16384x256 + dense2 256x128); useful MACs/frame of the true model.
-PADDED_MACS = T_IN * (8 * 3 + 3 * 128) * 512 + T_IN * 128 * 256 + 256 * 128
-PADDED_MACS_V4 = T_IN * (8 + 3 * 128) * 512 + T_IN * 128 * 256 + 256 * 128
+CONV_MACS = T_IN * (8 + 3 * 128) * 512
+DENSE_MACS = T_IN * 128 * 256 + 256 * 128
+PADDED_MACS = CONV_MACS + DENSE_MACS
 USEFUL_MACS = 126 * 6 * 256 + 124 * 1536 * 80 + 9920 * 256 + 256 * 11
 
 
-def _chain(fn, x0, n1=8, n2=40):
+def _chain(fn, x0, honest_sum: bool = False):
     jfn = jax.jit(fn)
 
     def body(xc):
         out = jfn(xc)
+        if honest_sum:
+            # full-output reduction defeats XLA slice-DCE on pure-XLA stages
+            probe = jnp.sum(out.astype(jnp.float32) * jnp.float32(1e-30))
+            return xc + (probe * jnp.float32(1e-8)).astype(xc.dtype)
         probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
         return xc + (probe * jnp.float32(1e-38)).astype(xc.dtype)
 
@@ -67,33 +72,34 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
 
     stages: dict[str, dict] = {}
 
-    def record(name, sec, padded_macs_per_frame):
-        rate = BATCH * T_IN / sec
-        tops = 2 * padded_macs_per_frame * BATCH / sec
-        stages[name] = {
+    def record(name, sec, padded_macs_per_frame=None, note=None):
+        entry: dict = {
             "us_per_iter": round(sec * 1e6, 1),
-            "samples_per_sec": round(rate),
-            "padded_tops": round(tops / 1e12, 1),
-            "pct_of_measured_int8_ceiling": round(
-                100 * tops / MEASURED_INT8_TOPS, 1
-            ),
+            "samples_per_sec": round(BATCH * T_IN / sec),
         }
-        print(name, stages[name], flush=True)
+        if padded_macs_per_frame:
+            tops = 2 * padded_macs_per_frame * BATCH / sec
+            entry["padded_tops"] = round(tops / 1e12, 1)
+            entry["pct_of_measured_int8_ceiling"] = round(
+                100 * tops / MEASURED_INT8_TOPS, 1)
+        if note:
+            entry["note"] = note
+        stages[name] = entry
+        print(name, json.dumps(entry), flush=True)
         return sec
 
-    # ---- headline kernel (v5: fused f32 prologue) per stage
-    classify5 = infer.make_int8_classifier_v5(qm)
-    sec_full5 = record("v5_full", _chain(classify5, x0), PADDED_MACS)
+    # ---- headline kernel (v6: pipelined conv) per stage
+    classify6 = infer.make_int8_classifier_v6(qm)
+    sec_full = record("v6_full", _chain(classify6, x0), PADDED_MACS)
 
-    # conv stage alone (same consts as make_int8_classifier_v5 builds)
     c2 = qm.m2.shape[0]
-    w1k = infer.expand_conv1_weights_tapk(qm.w1p)
+    w1e = infer.expand_conv1_weights(qm.w1p)
     cin = qm.w2p.shape[0] // 2
     w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
     w2k = infer.pack_conv2_weights_tap384(w2)
     m2p = infer._pad_cols(qm.m2)
     o2p = infer._pad_cols(qm.o2)
-    conv_consts = [jnp.asarray(a) for a in (w1k, qm.m1, qm.o1, w2k, m2p, o2p)]
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
     inv_sx = float(1.0 / qm.s_x)
 
     def _spec(a):
@@ -101,23 +107,23 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
         return pl.BlockSpec(
             s, (lambda i: (0,)) if len(s) == 1 else (lambda i: (0, 0)))
 
-    def conv5(x):
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+
+    def conv6(xp):
         return pl.pallas_call(
-            functools.partial(infer._conv_stage_int8_v5_kernel, chunk=16,
-                              inv_sx=inv_sx),
+            functools.partial(infer._conv_stage_int8_v6_kernel, chunk=16),
             grid=(BATCH // 64,),
-            in_specs=[pl.BlockSpec((64, 2, T_IN), lambda i: (i, 0, 0))]
+            in_specs=[pl.BlockSpec((64, 8, T_IN), lambda i: (i, 0, 0))]
             + [_spec(a) for a in conv_consts],
             out_specs=pl.BlockSpec((64, T_IN, 128), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
-        )(x, *conv_consts)
+        )(xp, *conv_consts)
 
-    conv_macs = T_IN * (8 * 3 + 3 * 128) * 512
-    sec_conv = record("v5_conv_stage", _chain(conv5, x0), conv_macs)
+    sec_conv = record("conv_stage_pipelined", _chain(conv6, xp0), CONV_MACS)
 
-    # dense+argmax stage alone
     w3p = infer.pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
     w4 = infer._pad_cols(qm.w4)
     s4 = infer._pad_cols(qm.s4)
@@ -129,31 +135,31 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
     def dense(hb):
         return pl.pallas_call(
             functools.partial(infer._dense_argmax_int8_kernel, nc=11),
-            grid=(BATCH // 256,),
-            in_specs=[pl.BlockSpec((256, T_IN * 128), lambda i: (i, 0))]
+            grid=(BATCH // 512,),
+            in_specs=[pl.BlockSpec((512, T_IN * 128), lambda i: (i, 0))]
             + [_spec(a) for a in dense_consts],
-            out_specs=pl.BlockSpec((256, 1), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((512, 1), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
         )(hb, *dense_consts)
 
-    dense_macs = T_IN * 128 * 256 + 256 * 128
-    sec_dense = record("v5_dense_argmax_stage", _chain(dense, h0), dense_macs)
+    sec_dense = record("dense_argmax_stage", _chain(dense, h0), DENSE_MACS)
 
-    # v4 for comparison (XLA prologue + conv + dense)
-    classify4 = infer.make_int8_classifier_v4(qm)
-    record("v4_full", _chain(classify4, x0), PADDED_MACS_V4)
-
-    def prologue4(x):
+    def prologue(x):
         x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
         return infer.expand_tap_planes(x_i8)
 
-    sec_pro = _chain(prologue4, x0)
-    stages["v4_xla_prologue"] = {
-        "us_per_iter": round(sec_pro * 1e6, 1),
-        "note": "quantize+tap-planes dispatch v5 eliminates",
-    }
+    sec_pro = record("xla_prologue_honest", _chain(prologue, x0, True),
+                     note="quantize + tap-planes (sum-defeated DCE)")
+
+    glue = sec_full - sec_conv - sec_dense - sec_pro
+    record("reshape_glue_residual", max(glue, 0.0),
+           note="(B,128,128)->(B,16384) int8 re-tile copy + dispatch glue")
+
+    # v4 (unpipelined) for comparison
+    classify4 = infer.make_int8_classifier_v4(qm)
+    record("v4_full_reference", _chain(classify4, x0), PADDED_MACS)
 
     out = {
         "date": "2026-08-20",
@@ -165,8 +171,10 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
         "padding_overhead_x": round(PADDED_MACS / USEFUL_MACS, 3),
         "stages": stages,
         "stage_shares_of_full": {
-            "conv": round(sec_conv / sec_full5, 3),
-            "dense": round(sec_dense / sec_full5, 3),
+            "conv": round(sec_conv / sec_full, 3),
+            "dense": round(sec_dense / sec_full, 3),
+            "prologue": round(sec_pro / sec_full, 3),
+            "glue": round(max(glue, 0.0) / sec_full, 3),
         },
     }
     with open(out_path, "w") as f:

@@ -1505,16 +1505,21 @@ def probe_r3c():
             )(xp, *consts)
         return f
 
-    for bb, ch in ((64, 16), (64, 8), (32, 16)):
-        try:
-            chain(f"r3c conv pipe2 bb={bb} ch={ch}",
-                  conv_run(_conv_pipe2_kernel, conv_consts, bb, ch), xp0,
-                  work=conv_work)
-        except Exception as e:  # noqa: BLE001
-            print(f"pipe2 bb={bb} ch={ch}: FAILS ({str(e)[:120]})", flush=True)
+    # pipe2 measured WORSE than pipe1 (1078us vs 751us — the held z_prev
+    # inflates live VMEM and defeats the scheduler); skip unless asked.
+    if "--pipe2" in sys.argv:
+        for bb, ch in ((64, 16), (64, 8), (32, 16)):
+            try:
+                chain(f"r3c conv pipe2 bb={bb} ch={ch}",
+                      conv_run(_conv_pipe2_kernel, conv_consts, bb, ch), xp0,
+                      work=conv_work)
+            except Exception as e:  # noqa: BLE001
+                print(f"pipe2 bb={bb} ch={ch}: FAILS ({str(e)[:120]})",
+                      flush=True)
 
     # ---- B. copy + dense end-to-end (the v4 dense path from the 3D tensor)
-    def dense4(hb, dbb=512):
+    # dbb=512 with the in-jit reshape carry VMEM-OOMs (24.2M scoped); 256.
+    def dense4(hb, dbb=256):
         h2 = hb.reshape(BATCH, T_IN * 128)
         return pl.pallas_call(
             functools.partial(_dense_argmax_int8_kernel, nc=11),
@@ -1527,8 +1532,11 @@ def probe_r3c():
                 dimension_semantics=("parallel",)),
         )(h2, *dense_consts)
 
-    chain("r3c copy+dense (3D in, reshape, dense)", dense4, h3,
-          work=dense_work)
+    try:
+        chain("r3c copy+dense (3D in, reshape, dense)", dense4, h3,
+              work=dense_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"copy+dense: FAILS ({str(e)[:140]})", flush=True)
 
     # ---- C. batched dot_general over t
     w3_3d = jnp.asarray(np.asarray(w3p).reshape(T_IN, 128, 256))
@@ -1644,8 +1652,11 @@ def probe_r3c():
         out2 = convp(xp)
         return dense4(out2)
 
-    chain("r3c v6-now full (pipe conv + copy + dense)", v6_now, x0,
-          work=conv_work + dense_work)
+    try:
+        chain("r3c v6-now full (pipe conv + copy + dense)", v6_now, x0,
+              work=conv_work + dense_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"v6-now: FAILS ({str(e)[:140]})", flush=True)
 
     def v6_3d(x):
         x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
@@ -1660,10 +1671,142 @@ def probe_r3c():
         print(f"v6-3d: FAILS ({str(e)[:120]})", flush=True)
 
 
+# ----------------------------------------------------------------------- r3d
+def probe_r3d():
+    """Round-3 probe 4: the t-major whole-network kernel (enabled by r3c's
+    finding that batched dot_general over t LOWERS), vs the production v6
+    two-kernel path. Rows are (t, f) instead of (f, t) so dense1 runs as a
+    t-batched MXU contraction on the conv output IN-KERNEL — no flatten
+    copy, no dense-stage HBM round-trip, labels leave the kernel."""
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        expand_conv1_weights, expand_tap_planes, pack_conv2_weights_tap384,
+        pack_dense1_weights_v3,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    w3p = pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
+    w3_3d = jnp.asarray(np.asarray(w3p).reshape(T_IN, 128, 256))
+    w4 = infer._pad_cols(qm.w4)
+    s4 = infer._pad_cols(qm.s4)
+    b4 = infer._pad_cols(qm.b4)
+    all_consts = [jnp.asarray(a) for a in
+                  (w1e, qm.m1, qm.o1, w2k, m2p, o2p)] + [w3_3d] + [
+                  jnp.asarray(a) for a in (qm.m3, qm.o3, w4, s4, b4)]
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    dense_work = 2 * BATCH * (T_IN * 128 * 256 + 256 * 128)
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+
+    # ---- production v6 (dbb=512) end-to-end
+    classify6 = infer.make_int8_classifier_v6(qm)
+    sec = chain("r3d v6 production classifier", classify6, x0,
+                work=conv_work + dense_work)
+    print(f"   -> v6: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
+
+    # ---- v7 whole-net t-major kernel
+    def _whole_v7_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                         o2_ref, w3_ref, m3_ref, o3_ref, w4_ref, s4_ref,
+                         b4_ref, o_ref, a3_scr, *, chunk):
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]  # (chunk, 8, T)
+            xe = jnp.transpose(xt, (2, 0, 1)).reshape(t_len * chunk, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1 = dot1(0)
+        for ci in range(n):
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            if ci + 1 < n:
+                a1 = dot1(ci + 1)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(t_len, chunk, 3 * 128)
+            s = (z[0 : t_len - 2, :, 0:128]
+                 + z[1 : t_len - 1, :, 128:256]
+                 + z[2:t_len, :, 256:384])
+            s = jnp.pad(s, ((0, 2), (0, 0), (0, 0)))
+            sq = requantize(s, m2_ref[:], o2_ref[:], relu=True)
+            p = jax.lax.dot_general(
+                sq, w3_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)  # (T, chunk, 256)
+            d1 = jnp.sum(p, axis=0)
+            a3_scr[ci * chunk : (ci + 1) * chunk] = requantize(
+                d1, m3_ref[:], o3_ref[:], relu=True)
+        acc4 = jax.lax.dot_general(
+            a3_scr[:], w4_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(lane < 11, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        idx = jnp.where(logits >= mx, lane, 128)
+        o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+    def whole7(bb=64, ch=16):
+        specs = ([pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+                 + [_spec(a) for a in all_consts[:6]]
+                 + [pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))]
+                 + [_spec(a) for a in all_consts[7:]])
+
+        def f(x):
+            x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0
+                            ).astype(jnp.int8)
+            xp = expand_tap_planes(x_i8)
+            return pl.pallas_call(
+                functools.partial(_whole_v7_kernel, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=specs,
+                out_specs=pl.BlockSpec((bb, 1), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((bb, 256), jnp.int8)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(xp, *all_consts)
+        return f
+
+    for bb, ch in ((64, 16), (64, 8), (128, 16), (256, 32)):
+        try:
+            sec = chain(f"r3d v7 WHOLE-NET t-major bb={bb} ch={ch}",
+                        whole7(bb, ch), x0, work=conv_work + dense_work)
+            print(f"   -> v7: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"v7 bb={bb} ch={ch}: FAILS ({str(e)[:160]})", flush=True)
+
+    # ---- gather-free normalize re-measure
+    from modulationdetectioncnn_tpu import config as _cfgmod
+    from modulationdetectioncnn_tpu.dsp import normalize
+
+    sc = _cfgmod.AmcConfig().stream
+    fr0 = jnp.asarray(
+        rng.standard_normal((16, BATCH // 16, 2, 128)).astype(np.float32))
+    sec = chain("r3d cfo est+correct (gather-free)",
+                lambda fr: normalize.correct_cfo(
+                    fr, normalize.estimate_cfo(fr)), fr0, batch=BATCH)
+    sec = chain("r3d timing est+correct (gather-free)",
+                lambda fr: normalize.correct_timing(
+                    fr, normalize.estimate_timing(fr, sc.sps), sc.sps,
+                    sc.timing_phases), fr0, batch=BATCH)
+
+
 PROBES = {
     "r3": probe_r3,
     "r3b": probe_r3b,
     "r3c": probe_r3c,
+    "r3d": probe_r3d,
     "r3stream": probe_r3stream,
     "ceil": probe_ceil,
     "convT": probe_convT,
