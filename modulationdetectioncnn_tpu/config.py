@@ -115,8 +115,11 @@ class StreamConfig:
     block_len: int = 1 << 15          # overlap-save block length (per device)
     normalize_cfo: bool = True
     # Per-frame Oerder&Meyr timing estimate + polyphase fractional-delay
-    # correction (SURVEY.md N6 "timing normalization").
-    normalize_timing: bool = False
+    # correction (SURVEY.md N6 "timing normalization"). Default ON since r3:
+    # the gather-free formulation costs ~60us/iter at bench shapes (~4% of
+    # the classifier; was 4.4ms with the phase-bank formulation) —
+    # VERDICT r2 next #6 measured-cost decision.
+    normalize_timing: bool = True
     timing_phases: int = 32
     sps: int = 8                      # samples/symbol at the frame rate
 

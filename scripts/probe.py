@@ -1802,11 +1802,167 @@ def probe_r3d():
                     sc.timing_phases), fr0, batch=BATCH)
 
 
+# ----------------------------------------------------------------------- r3e
+def probe_r3e():
+    """Round-3 probe 5: v8 whole-net (f-major conv, sublane-only transpose
+    before a t-batched dense1 dot — v7 lost to its LANE-relayout input
+    transpose) + localization of v6-full's ~540us gap beyond its parts."""
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        _conv_stage_int8_v6_kernel, _dense_argmax_int8_kernel,
+        expand_conv1_weights, expand_tap_planes, pack_conv2_weights_tap384,
+        pack_dense1_weights_v3,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    w3p = pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
+    w3_3d = jnp.asarray(np.asarray(w3p).reshape(T_IN, 128, 256))
+    w4 = infer._pad_cols(qm.w4)
+    s4 = infer._pad_cols(qm.s4)
+    b4 = infer._pad_cols(qm.b4)
+    dense_consts = [jnp.asarray(a) for a in (w3p, qm.m3, qm.o3, w4, s4, b4)]
+    all_consts = conv_consts + [w3_3d] + [jnp.asarray(a) for a in
+                                          (qm.m3, qm.o3, w4, s4, b4)]
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    dense_work = 2 * BATCH * (T_IN * 128 * 256 + 256 * 128)
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+
+    def conv6(xp, bb=64, ch=16):
+        return pl.pallas_call(
+            functools.partial(_conv_stage_int8_v6_kernel, chunk=ch),
+            grid=(BATCH // bb,),
+            in_specs=[pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(xp, *conv_consts)
+
+    def dense(h2, dbb=512):
+        return pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=11),
+            grid=(BATCH // dbb,),
+            in_specs=[pl.BlockSpec((dbb, T_IN * 128), lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dbb, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(h2, *dense_consts)
+
+    # ---- localization
+    try:
+        chain("r3e conv alone (re-confirm)", conv6, xp0, work=conv_work)
+        chain("r3e prologue+conv",
+              lambda x: conv6(expand_tap_planes(
+                  jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0
+                           ).astype(jnp.int8))), x0, work=conv_work)
+        chain("r3e conv+reshape+dense (xp in)",
+              lambda xp: dense(conv6(xp).reshape(BATCH, T_IN * 128)), xp0,
+              work=conv_work + dense_work)
+        h0 = jnp.asarray(
+            rng.integers(0, 80, (BATCH, T_IN * 128), np.int32)
+            .astype(np.int8))
+        chain("r3e dense alone dbb=512 (re-confirm)", dense, h0,
+              work=dense_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"localization: FAILS ({str(e)[:140]})", flush=True)
+
+    # ---- v8 whole-net kernel
+    def _whole_v8_kernel(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                         o2_ref, w3_ref, m3_ref, o3_ref, w4_ref, s4_ref,
+                         b4_ref, o_ref, a3_scr, *, chunk):
+        tb = xp_ref.shape[0]
+        t_len = xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1 = dot1(0)
+        for ci in range(n):
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            if ci + 1 < n:
+                a1 = dot1(ci + 1)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            sq = requantize(s, m2_ref[:], o2_ref[:], relu=True)
+            sqT = jnp.transpose(sq, (1, 0, 2))  # sublane-only permutation
+            p = jax.lax.dot_general(
+                sqT, w3_ref[:], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)  # (T, chunk, 256)
+            d1 = jnp.sum(p, axis=0)
+            a3_scr[ci * chunk : (ci + 1) * chunk] = requantize(
+                d1, m3_ref[:], o3_ref[:], relu=True)
+        acc4 = jax.lax.dot_general(
+            a3_scr[:], w4_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(lane < 11, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        idx = jnp.where(logits >= mx, lane, 128)
+        o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+    def whole8(bb=64, ch=16, semantics="arbitrary"):
+        specs = ([pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+                 + [_spec(a) for a in all_consts[:6]]
+                 + [pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))]
+                 + [_spec(a) for a in all_consts[7:]])
+
+        def f(x):
+            x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0
+                            ).astype(jnp.int8)
+            xp = expand_tap_planes(x_i8)
+            return pl.pallas_call(
+                functools.partial(_whole_v8_kernel, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=specs,
+                out_specs=pl.BlockSpec((bb, 1), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((bb, 256), jnp.int8)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=(semantics,)),
+            )(xp, *all_consts)
+        return f
+
+    for bb, ch in ((64, 16), (64, 8), (128, 16)):
+        try:
+            sec = chain(f"r3e v8 WHOLE-NET bb={bb} ch={ch}",
+                        whole8(bb, ch), x0, work=conv_work + dense_work)
+            print(f"   -> v8: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"v8 bb={bb} ch={ch}: FAILS ({str(e)[:160]})", flush=True)
+
+
 PROBES = {
     "r3": probe_r3,
     "r3b": probe_r3b,
     "r3c": probe_r3c,
     "r3d": probe_r3d,
+    "r3e": probe_r3e,
     "r3stream": probe_r3stream,
     "ceil": probe_ceil,
     "convT": probe_convT,

@@ -99,7 +99,7 @@ def test_resampled_chain_matches_golden_frames():
 
     sc = StreamConfig(
         num_subbands=4, taps_per_branch=8, resample_up=1, resample_down=2,
-        normalize_cfo=False,
+        normalize_cfo=False, normalize_timing=False,
     )
     t_len = 4 * 128 * 8 * 2
     xc = _wideband(t_len, seed=9)
@@ -144,7 +144,10 @@ def test_streamed_equals_batch_with_timing_normalization():
 def test_subband_frames_shapes():
     from modulationdetectioncnn_tpu.dsp.framer import to_planes
 
-    sc = StreamConfig(num_subbands=8, taps_per_branch=8)
+    # cfo/timing off: the unit-power property holds right after the power
+    # stage (timing's fractional-delay FIR perturbs frame power at edges).
+    sc = StreamConfig(num_subbands=8, taps_per_branch=8,
+                      normalize_cfo=False, normalize_timing=False)
     x = to_planes(_wideband(8 * 128 * 4))
     h = design_prototype(8, 8)
     iq = pipeline.subband_frames(x, h, sc)
