@@ -19,8 +19,8 @@ TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 # Verified code paths, fastest-first preference for the headline number.
 # (pallas_bf16_v4 exists but is excluded: its Mosaic compile exceeds 9 min
 # through this platform's remote compiler — select it explicitly to retry.)
-BACKENDS = ("pallas_int8_v4", "pallas_int8_v3", "pallas_int8",
-            "pallas_bf16", "xla_bf16", "xla_int8")
+BACKENDS = ("pallas_int8_v6", "pallas_int8_v4", "pallas_int8_v3",
+            "pallas_int8", "pallas_bf16", "xla_bf16", "xla_int8")
 
 
 def make_classifier(cfg, backend: str, batch: int):
@@ -65,12 +65,14 @@ def make_classifier(cfg, backend: str, batch: int):
     else:
         calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
         qm = quantize(model, params, calib)
-        if backend in ("pallas_int8_v3", "pallas_int8_v4", "pallas_int8_v5"):
+        if backend in ("pallas_int8_v3", "pallas_int8_v4", "pallas_int8_v5",
+                       "pallas_int8_v6"):
             from modulationdetectioncnn_tpu.ops import infer as _inf
 
             make = {"pallas_int8_v3": _inf.make_int8_classifier_v3,
                     "pallas_int8_v4": _inf.make_int8_classifier_v4,
-                    "pallas_int8_v5": _inf.make_int8_classifier_v5}[backend]
+                    "pallas_int8_v5": _inf.make_int8_classifier_v5,
+                    "pallas_int8_v6": _inf.make_int8_classifier_v6}[backend]
             return make(qm), (x,)  # emits labels directly
         if backend == "xla_int8":
             from modulationdetectioncnn_tpu.ops.infer_xla import (

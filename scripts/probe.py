@@ -1957,12 +1957,129 @@ def probe_r3e():
             print(f"v8 bb={bb} ch={ch}: FAILS ({str(e)[:160]})", flush=True)
 
 
+# ----------------------------------------------------------------------- r3f
+def probe_r3f():
+    """Round-3 probe 6 (final perf probe): prologue-layout variants feeding
+    the real conv kernel (the XLA prologue costs ~169us WHEN FEEDING the
+    custom call — the standalone honest number was 13us — because the
+    tap-plane build + tiled->dense operand copy fuse badly), plus a
+    same-process plain-vs-pipelined conv pair to resolve the 751-vs-1003
+    process variance, and a B=8192 v6."""
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        _conv_stage_int8_v4_kernel, _conv_stage_int8_v6_kernel,
+        expand_conv1_weights, expand_tap_planes, pack_conv2_weights_tap384,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+
+    def conv_run(kern, bb=64, ch=16):
+        def f(xp):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))]
+                + [_spec(a) for a in conv_consts],
+                out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(xp, *conv_consts)
+        return f
+
+    # same-process variance pair
+    chain("r3f conv PLAIN (v4 kernel)", conv_run(_conv_stage_int8_v4_kernel),
+          xp0, work=conv_work)
+    chain("r3f conv PIPELINED (v6 kernel)",
+          conv_run(_conv_stage_int8_v6_kernel), xp0, work=conv_work)
+
+    convp = conv_run(_conv_stage_int8_v6_kernel)
+
+    # f1: current prologue formulation
+    def pro_stack(x):
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        return expand_tap_planes(x_i8)
+
+    chain("r3f pro(stack)+conv", lambda x: convp(pro_stack(x)), x0,
+          work=conv_work)
+
+    # f2: build planes by padding the quantized input and concatenating
+    # precomputed zero-shifted copies via jnp.concatenate on axis 1
+    def pro_concat(x):
+        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        t1 = x.shape[-1] - 2
+        cols = [
+            jnp.pad(x_i8[:, h : h + 1, k : k + t1], [(0, 0), (0, 0), (0, 2)])
+            for h in range(2) for k in range(3)
+        ]
+        zeros = jnp.zeros((x.shape[0], 2, x.shape[-1]), jnp.int8)
+        return jnp.concatenate(cols + [zeros], axis=1)
+
+    chain("r3f pro(concat)+conv", lambda x: convp(pro_concat(x)), x0,
+          work=conv_work)
+
+    # f3: pallas prologue kernel writing the dense operand directly
+    def _pro_kernel(x_ref, o_ref, *, inv):
+        xq = jnp.clip(jnp.round(x_ref[:] * inv), -127.0, 127.0
+                      ).astype(jnp.int8)  # (bb, 2, T)
+        t_len = x_ref.shape[2]
+        t1 = t_len - 2
+        for h in range(2):
+            for k in range(3):
+                plane = xq[:, h, k : k + t1]
+                o_ref[:, h * 3 + k, :] = jnp.pad(plane, ((0, 0), (0, 2)))
+        o_ref[:, 6, :] = jnp.zeros_like(xq[:, 0, :])
+        o_ref[:, 7, :] = jnp.zeros_like(xq[:, 0, :])
+
+    def pro_pallas(x, bb=256):
+        return pl.pallas_call(
+            functools.partial(_pro_kernel, inv=inv_sx),
+            grid=(BATCH // bb,),
+            in_specs=[pl.BlockSpec((bb, 2, T_IN), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 8, T_IN), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x)
+
+    try:
+        chain("r3f pro(pallas)+conv", lambda x: convp(pro_pallas(x)), x0,
+              work=conv_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"pro(pallas): FAILS ({str(e)[:140]})", flush=True)
+
+    # f4: full v6 at B=8192
+    classify6 = infer.make_int8_classifier_v6(qm)
+    x8 = jnp.asarray(
+        rng.standard_normal((8192, 2, 128)).astype(np.float32))
+    sec = chain("r3f v6 full B=8192", classify6, x8, batch=8192,
+                work=2 * conv_work)
+    print(f"   -> v6 B=8192: {8192 * 128 / sec / 1e6:.1f} MS/s", flush=True)
+    sec = chain("r3f v6 full B=4096 (same process)", classify6, x0,
+                work=conv_work)
+    print(f"   -> v6 B=4096: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
+
+
 PROBES = {
     "r3": probe_r3,
     "r3b": probe_r3b,
     "r3c": probe_r3c,
     "r3d": probe_r3d,
     "r3e": probe_r3e,
+    "r3f": probe_r3f,
     "r3stream": probe_r3stream,
     "ceil": probe_ceil,
     "convT": probe_convT,
