@@ -10,6 +10,7 @@ stderr). Run on the real chip:  python bench.py [backend|stream]
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -19,7 +20,7 @@ TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 # Verified code paths, fastest-first preference for the headline number.
 # (pallas_bf16_v4 exists but is excluded: its Mosaic compile exceeds 9 min
 # through this platform's remote compiler — select it explicitly to retry.)
-BACKENDS = ("pallas_int8_v6", "pallas_int8_v4", "pallas_int8_v3",
+BACKENDS = ("pallas_int8_v7", "pallas_int8_v6", "pallas_int8_v4", "pallas_int8_v3",
             "pallas_int8", "pallas_bf16", "xla_bf16", "xla_int8")
 
 
@@ -66,13 +67,14 @@ def make_classifier(cfg, backend: str, batch: int):
         calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
         qm = quantize(model, params, calib)
         if backend in ("pallas_int8_v3", "pallas_int8_v4", "pallas_int8_v5",
-                       "pallas_int8_v6"):
+                       "pallas_int8_v6", "pallas_int8_v7"):
             from modulationdetectioncnn_tpu.ops import infer as _inf
 
             make = {"pallas_int8_v3": _inf.make_int8_classifier_v3,
                     "pallas_int8_v4": _inf.make_int8_classifier_v4,
                     "pallas_int8_v5": _inf.make_int8_classifier_v5,
-                    "pallas_int8_v6": _inf.make_int8_classifier_v6}[backend]
+                    "pallas_int8_v6": _inf.make_int8_classifier_v6,
+                    "pallas_int8_v7": _inf.make_int8_classifier_v7}[backend]
             return make(qm), (x,)  # emits labels directly
         if backend == "xla_int8":
             from modulationdetectioncnn_tpu.ops.infer_xla import (
@@ -277,7 +279,20 @@ if __name__ == "__main__":
     # The judged metric is "IQ samples/s classified" and the product is the
     # streaming chain, so every recorded bench also carries the config-4
     # stream number (stderr; the contract stdout line stays cnn-mode).
+    # Wall-clock-boxed: the stream chain's Mosaic/XLA compile through the
+    # tunneled platform can exceed several minutes; the contract line is
+    # already on stdout, so a slow compile must never turn a good headline
+    # run into a timeout. SIGALRM only fires here, after the headline.
     if cfg.bench.mode != "stream" and cfg.bench.stream_extra:
+        import signal
+
+        budget = int(os.environ.get("BENCH_STREAM_EXTRA_BUDGET_S", "420"))
+
+        def _timeout(signum, frame):
+            raise TimeoutError(f"stream_extra exceeded {budget}s budget")
+
+        old = signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(budget)
         try:
             sres = run_stream_bench(cfg, quiet=True)
             sres["mode"] = "stream_extra"
@@ -285,3 +300,6 @@ if __name__ == "__main__":
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"stream_extra_error": repr(e)}),
                   file=sys.stderr)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)

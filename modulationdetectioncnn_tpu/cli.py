@@ -53,6 +53,10 @@ def _restore_params(cfg: AmcConfig):
     mgr = ckpt.make_manager(cfg.train.checkpoint_dir)
     restored = ckpt.restore(mgr)
     if restored is None:
+        # Close the manager's async machinery before exiting — otherwise
+        # orbax's background threads die in interpreter teardown with a
+        # spurious C++ 'terminate called' after the clean message.
+        mgr.close()
         raise SystemExit(f"no checkpoint found in {cfg.train.checkpoint_dir}")
     params, _, step = restored
     log.info("restored checkpoint step %d", step)

@@ -1007,6 +1007,8 @@ def make_int8_predict(qm, version: str = "v4", *, interpret: bool = False):
     The eval/quantize CLI routes through this so the accuracy artifact can
     (and by default does) exercise the SAME kernel the bench headline
     measures (VERDICT r2 weak #3 / next #3)."""
+    if version == "v7":
+        return make_int8_classifier_v7(qm, interpret=interpret)
     if version == "v6":
         return make_int8_classifier_v6(qm, interpret=interpret)
     if version == "v5":
@@ -1155,6 +1157,180 @@ def make_int8_classifier_v5(qm, *, block_b: int = 64, chunk: int = 16,
             interpret=interpret,
         )(x.astype(jnp.float32), *conv_consts)
         h = out2.reshape(b, t_in * _LANES)  # free lane-aligned reshape
+        labels = pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=nc),
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t_in * _LANES),
+                                   lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t_in * _LANES * 256 + 256 * _LANES),
+                bytes_accessed=b * (t_in * _LANES + 4) + 4_300_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return labels[:b0, 0]
+
+    return classify
+
+
+def expand_conv1_weights_v9(w1p: np.ndarray) -> np.ndarray:
+    """(3, C) tap weights -> (8, 2C) with K rows ordered (k, h):
+    w[2k+h, h*C+c] = w1p[k, c]; rows 6..7 zero — matches the v7 kernel's
+    in-kernel tap-plane order [k0h0, k0h1, k1h0, k1h1, k2h0, k2h1, 0, 0].
+    (Named for the r3 whole-net probe lineage; v7 is its production user.)"""
+    w1p = np.asarray(w1p)
+    c = w1p.shape[1]
+    w = np.zeros((8, 2 * c), dtype=w1p.dtype)
+    for k in range(3):
+        for h in range(2):
+            w[2 * k + h, h * c : (h + 1) * c] = w1p[k]
+    return w
+
+
+# ------------------- v7: fused f32 prologue + epilogue-pipelined conv
+#
+# Two r3 probe findings drive v7 (scripts/probe.py r3h/r3i, measured
+# 2026-08-21 on-chip):
+#   1. v6's "software pipelining" issued the next chunk's conv1 dot AFTER
+#      this chunk's a1 requantize, so the MXU idled through the ~324us of
+#      VPU requantize anyway (v6 == v4 within variance, ~1065us). Deferring
+#      the WHOLE epilogue (shift-add + rq2 + store) of chunk ci-1 and the
+#      rq1 of chunk ci+1 until after both of chunk ci's MXU dots are issued
+#      ("epi" order) measures 897-1008us; the rq-free MXU+transpose bound
+#      is 738us.
+#   2. Every tap-plane build using lane-OFFSET slices, narrow (sub-tile)
+#      concats, or int8 lane rolls either fuses badly in XLA (+108..196us
+#      when feeding the custom call) or CRASHES the Mosaic compiler
+#      (probe r3i isolation matrix: pltpu.roll on int8 -> compile-helper
+#      crash; the same roll on f32 -> OK; full-lane-width quantize and
+#      middle-axis concat -> OK). v7 therefore builds the tap planes from
+#      only the proven-compilable pieces, all at full 128-lane width:
+#        xp = concat([x, roll(x, T-1), roll(x, T-2), 0], axis=1)  # f32
+#        xq = quantize(xp)                                        # int8
+#        xe = swapaxes(xq, 1, 2).reshape(m, 8)    # v4-proven transpose
+#      The rolls wrap the last 1-2 lanes around — those only feed conv1
+#      rows t >= T-2, which are garbage rows nulled by the zero rows of
+#      the padded W3 (same classification as v4's zero-padded rows).
+#      No XLA prologue, no HBM tap-plane round-trip.
+
+
+def _conv_stage_int8_v7_kernel(
+    x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+    *, chunk, inv_sx, interpret=False,
+):
+    """(bb, 2, T) f32 in -> quantize+taps (VPU) -> conv1 -> rq -> conv2 ->
+    shift-add -> rq -> (bb, T, 128) int8 out, epilogue-pipelined 2 deep."""
+    tb, t_len = x_ref.shape[0], x_ref.shape[2]
+    m = chunk * t_len
+    n = tb // chunk
+
+    def roll_t(a, k):
+        if interpret:  # pltpu.roll has no CPU-interpret lowering
+            return jnp.roll(a, t_len - k, axis=2)
+        return pltpu.roll(a, t_len - k, 2)
+
+    def dot1(ci):
+        xb = x_ref[ci * chunk : (ci + 1) * chunk]      # (chunk, 2, T) f32
+        xp = jnp.concatenate(
+            [xb, roll_t(xb, 1), roll_t(xb, 2), jnp.zeros_like(xb)],
+            axis=1)                                    # (chunk, 8, T) f32
+        xq = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0
+                      ).astype(jnp.int8)
+        xe = jnp.swapaxes(xq, 1, 2).reshape(m, 8)      # taps (k, h) order
+        return jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    def shift_add(z):
+        s = (z[:, 0 : t_len - 2, 0:_LANES]
+             + z[:, 1 : t_len - 1, _LANES : 2 * _LANES]
+             + z[:, 2:t_len, 2 * _LANES : 3 * _LANES])
+        return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+    a1q = requantize(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+    z_prev = None
+    for ci in range(n):
+        a1_next = dot1(ci + 1) if ci + 1 < n else None   # MXU
+        z = jax.lax.dot_general(
+            a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(chunk, t_len, 3 * _LANES)              # MXU
+        if z_prev is not None:                           # VPU (chunk ci-1)
+            o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                shift_add(z_prev), m2_ref[:], o2_ref[:], relu=True)
+        if a1_next is not None:                          # VPU (chunk ci+1)
+            a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+        z_prev = z
+    o_ref[(n - 1) * chunk :] = requantize(
+        shift_add(z_prev), m2_ref[:], o2_ref[:], relu=True)
+
+
+def make_int8_classifier_v7(qm, *, block_b: int = 64, chunk: int = 16,
+                            dense_block_b: int = 256, interpret: bool = False):
+    """Fused-prologue, epilogue-pipelined int8 classifier:
+    (B,2,T) f32 -> (B,) int32 labels. Bit-exact vs golden/quant.py."""
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    w1e = expand_conv1_weights_v9(qm.w1p)  # (8, 2C) int8, (k, h) row order
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)  # (2Cin, 384) int8
+    m2p = _pad_cols(qm.m2)
+    o2p = _pad_cols(qm.o2)
+    w4 = _pad_cols(qm.w4)
+    s4 = _pad_cols(qm.s4)
+    b4 = _pad_cols(qm.b4)
+    inv_sx = float(1.0 / qm.s_x)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    maybe_jit = (lambda f: f) if interpret else jax.jit
+
+    @maybe_jit
+    def classify(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t2 = t_in - 4
+        w3p = pack_dense1_weights_v3(qm.w3, t2, c2, t_in)
+        dense_consts = [jnp.asarray(a) for a in
+                        (w3p, qm.m3, qm.o3, w4, s4, b4)]
+        out2 = pl.pallas_call(
+            functools.partial(_conv_stage_int8_v7_kernel, chunk=chunk,
+                              inv_sx=inv_sx, interpret=interpret),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, 2, t_in), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t_in, _LANES),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t_in, _LANES), jnp.int8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * t_in * (8 + 3 * _LANES) * 512,
+                bytes_accessed=b * t_in * (_LANES + 8) + 400_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(x.astype(jnp.float32), *conv_consts)
+        h = out2.reshape(b, t_in * _LANES)
         labels = pl.pallas_call(
             functools.partial(_dense_argmax_int8_kernel, nc=nc),
             grid=(b // dense_block_b,),

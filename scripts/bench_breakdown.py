@@ -88,18 +88,17 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
         print(name, json.dumps(entry), flush=True)
         return sec
 
-    # ---- headline kernel (v6: pipelined conv) per stage
-    classify6 = infer.make_int8_classifier_v6(qm)
-    sec_full = record("v6_full", _chain(classify6, x0), PADDED_MACS)
+    # ---- headline kernel (v7: fused f32 prologue + epilogue-pipelined
+    # conv, r3h/r3i probes) per stage
+    classify7 = infer.make_int8_classifier_v7(qm)
+    sec_full = record("v7_full_headline", _chain(classify7, x0), PADDED_MACS)
 
     c2 = qm.m2.shape[0]
-    w1e = infer.expand_conv1_weights(qm.w1p)
     cin = qm.w2p.shape[0] // 2
     w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
     w2k = infer.pack_conv2_weights_tap384(w2)
     m2p = infer._pad_cols(qm.m2)
     o2p = infer._pad_cols(qm.o2)
-    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
     inv_sx = float(1.0 / qm.s_x)
 
     def _spec(a):
@@ -107,22 +106,26 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
         return pl.BlockSpec(
             s, (lambda i: (0,)) if len(s) == 1 else (lambda i: (0, 0)))
 
-    xp0 = jnp.asarray(
-        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+    w1v9 = infer.expand_conv1_weights_v9(qm.w1p)
+    conv7_consts = [jnp.asarray(a) for a in
+                    (w1v9, qm.m1, qm.o1, w2k, m2p, o2p)]
 
-    def conv6(xp):
+    def conv7(x):
         return pl.pallas_call(
-            functools.partial(infer._conv_stage_int8_v6_kernel, chunk=16),
+            functools.partial(infer._conv_stage_int8_v7_kernel, chunk=16,
+                              inv_sx=inv_sx),
             grid=(BATCH // 64,),
-            in_specs=[pl.BlockSpec((64, 8, T_IN), lambda i: (i, 0, 0))]
-            + [_spec(a) for a in conv_consts],
+            in_specs=[pl.BlockSpec((64, 2, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv7_consts],
             out_specs=pl.BlockSpec((64, T_IN, 128), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
-        )(xp, *conv_consts)
+        )(x, *conv7_consts)
 
-    sec_conv = record("conv_stage_pipelined", _chain(conv6, xp0), CONV_MACS)
+    sec_conv = record(
+        "conv_stage_v7", _chain(conv7, x0), CONV_MACS,
+        note="fused f32 prologue + epilogue-pipelined conv1+conv2")
 
     w3p = infer.pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
     w4 = infer._pad_cols(qm.w4)
@@ -146,23 +149,18 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
 
     sec_dense = record("dense_argmax_stage", _chain(dense, h0), DENSE_MACS)
 
-    def prologue(x):
-        x_i8 = jnp.clip(jnp.round(x * inv_sx), -127.0, 127.0).astype(jnp.int8)
-        return infer.expand_tap_planes(x_i8)
-
-    sec_pro = record("xla_prologue_honest", _chain(prologue, x0, True),
-                     note="quantize + tap-planes (sum-defeated DCE)")
-
-    glue = sec_full - sec_conv - sec_dense - sec_pro
+    glue = sec_full - sec_conv - sec_dense
     record("reshape_glue_residual", max(glue, 0.0),
-           note="(B,128,128)->(B,16384) int8 re-tile copy + dispatch glue")
+           note="(B,128,128)->(B,16384) reshape + inter-kernel HBM + "
+                "dispatch glue (v7 has NO separate prologue: quantize + "
+                "tap build live in the conv kernel)")
 
-    # v4 (unpipelined) for comparison
-    classify4 = infer.make_int8_classifier_v4(qm)
-    record("v4_full_reference", _chain(classify4, x0), PADDED_MACS)
+    # v6 (prior headline: XLA prologue + rq-before-dot order) for comparison
+    classify6 = infer.make_int8_classifier_v6(qm)
+    record("v6_full_reference", _chain(classify6, x0), PADDED_MACS)
 
     out = {
-        "date": "2026-08-20",
+        "date": "2026-08-21",
         "batch": BATCH,
         "device": str(jax.devices()[0]),
         "measured_int8_ceiling_tops": MEASURED_INT8_TOPS / 1e12,
@@ -171,9 +169,8 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
         "padding_overhead_x": round(PADDED_MACS / USEFUL_MACS, 3),
         "stages": stages,
         "stage_shares_of_full": {
-            "conv": round(sec_conv / sec_full, 3),
+            "conv_incl_prologue": round(sec_conv / sec_full, 3),
             "dense": round(sec_dense / sec_full, 3),
-            "prologue": round(sec_pro / sec_full, 3),
             "glue": round(max(glue, 0.0) / sec_full, 3),
         },
     }

@@ -32,15 +32,15 @@ def main(backend: str | None = None) -> None:
         quiet=True, backend=backend)
     print("cnn-only:", json.dumps(cnn), flush=True)
 
+    # normalize_timing defaults ON since r3 (config.py StreamConfig), so the
+    # default row already includes CFO + timing; the _off rows isolate costs.
     variants = {
-        "default_cfo_on": [],
-        "timing_on": ["stream.normalize_timing=true"],
+        "default_cfo_timing_on": [],
+        "timing_off": ["stream.normalize_timing=false"],
         "resample_2_3": ["stream.resample_up=2", "stream.resample_down=3",
                          "stream.block_len=49152"],
-        "resample_2_3_timing_on": [
-            "stream.resample_up=2", "stream.resample_down=3",
-            "stream.block_len=49152", "stream.normalize_timing=true"],
-        "cfo_off": ["stream.normalize_cfo=false"],
+        "cfo_off_timing_off": ["stream.normalize_cfo=false",
+                               "stream.normalize_timing=false"],
     }
     out = {"backend": backend, "cnn_only_samples_per_sec": cnn["value"],
            "variants": {}}

@@ -2073,7 +2073,472 @@ def probe_r3f():
     print(f"   -> v6 B=4096: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
 
 
+# ----------------------------------------------------------------------- r3h
+def probe_r3h():
+    """Round-3 probe 8: WHY doesn't the v6 'pipelining' overlap MXU/VPU?
+    (r3f: v6 gains only 34us over plain v4 — conv sits at 1065us vs the
+    599us all-MXU floor.) Hypothesis: v6 issues dot1(ci+1) AFTER rq1(ci),
+    so the MXU idles through the 324us-per-batch requantize anyway. Probes:
+      base   v6 as-is (order: rq1 -> dot1(ci+1) -> dot2)
+      early  dot1(ci+1) issued BEFORE rq1(ci)
+      epi    2-deep: chunk ci's epilogue (shift-add+rq2+store) and the rq1
+             for chunk ci+1 both placed AFTER the next two MXU dots issue
+      norq   rq1 replaced by a cheap int32->int8 truncation (NOT exact;
+             bounds the MXU-only cost incl. transposes)
+      pro    winner structure reading raw (bb,2,T) f32: quantize + tap
+             planes built in-kernel as one pad + 3 sublane-shifted 2-lane
+             concats (v9 dot1 formulation) — kills the 182us XLA prologue
+      xla    pure-XLA int8 e2e baseline (infer_xla) for the same batch
+    """
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        expand_conv1_weights, expand_conv1_weights_v9, expand_tap_planes,
+        pack_conv2_weights_tap384,
+    )
+    from modulationdetectioncnn_tpu.ops.infer_xla import make_int8_forward_xla
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    w1v9 = expand_conv1_weights_v9(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    pro_consts = [jnp.asarray(a) for a in (w1v9, qm.m1, qm.o1, w2k, m2p, o2p)]
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+
+    def shift_add(z, t_len):
+        s = (z[:, 0 : t_len - 2, 0:128]
+             + z[:, 1 : t_len - 1, 128:256]
+             + z[:, 2:t_len, 256:384])
+        return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+    def kern_early(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                   o_ref, *, chunk):
+        tb, t_len = xp_ref.shape[0], xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1 = dot1(0)
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None  # MXU first
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)  # VPU
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                shift_add(z, t_len), m2_ref[:], o2_ref[:], relu=True)
+            a1 = a1_next
+
+    def kern_epi(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                 o_ref, *, chunk):
+        tb, t_len = xp_ref.shape[0], xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1q = requantize(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None  # MXU
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)                # MXU
+            if z_prev is not None:                          # VPU (prev)
+                o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                    shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+            if a1_next is not None:                         # VPU (next)
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        o_ref[(n - 1) * chunk :] = requantize(
+            shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+
+    def kern_norq(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                  o_ref, *, chunk):
+        tb, t_len = xp_ref.shape[0], xp_ref.shape[2]
+        for ci in range(tb // chunk):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            a1 = jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a1q = a1.astype(jnp.int8)  # NOT exact: MXU-only cost bound
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            o_ref[ci * chunk : (ci + 1) * chunk] = shift_add(
+                z, t_len).astype(jnp.int8)
+
+    def kern_pro(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                 o_ref, *, chunk):
+        tb, t_len = x_ref.shape[0], x_ref.shape[2]
+        m = chunk * t_len
+        n = tb // chunk
+
+        def dot1(ci):
+            xb = x_ref[ci * chunk : (ci + 1) * chunk]
+            xt = jnp.swapaxes(xb, 1, 2).reshape(m, 2)
+            xq = jnp.clip(jnp.round(xt * inv_sx), -127.0, 127.0
+                          ).astype(jnp.int8)
+            xqp = jnp.pad(xq, ((0, 2), (0, 6)))
+            xe = jnp.concatenate(
+                [xqp[0:m, 0:2], xqp[1 : 1 + m, 0:2], xqp[2 : 2 + m, 0:2],
+                 xqp[0:m, 2:4]], axis=1)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1q = requantize(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            if z_prev is not None:
+                o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                    shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+            if a1_next is not None:
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        o_ref[(n - 1) * chunk :] = requantize(
+            shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+
+    def run_kern(kern, consts, x, bb, ch, in_spec):
+        def f(xin):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[in_spec(bb)] + [_spec(a) for a in consts],
+                out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(xin, *consts)
+        return f
+
+    plane_spec = lambda bb: pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0))
+    f32_spec = lambda bb: pl.BlockSpec((bb, 2, T_IN), lambda i: (i, 0, 0))
+
+    from modulationdetectioncnn_tpu.ops.infer import _conv_stage_int8_v6_kernel
+    chain("r3h base v6 ch=16", run_kern(
+        _conv_stage_int8_v6_kernel, conv_consts, xp0, 64, 16, plane_spec),
+        xp0, work=conv_work)
+    for ch in (8, 16, 32):
+        try:
+            chain(f"r3h early ch={ch}", run_kern(
+                kern_early, conv_consts, xp0, 64, ch, plane_spec),
+                xp0, work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"early ch={ch}: FAILS ({str(e)[:110]})", flush=True)
+    for ch in (8, 16, 32):
+        try:
+            chain(f"r3h epi   ch={ch}", run_kern(
+                kern_epi, conv_consts, xp0, 64, ch, plane_spec),
+                xp0, work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"epi ch={ch}: FAILS ({str(e)[:110]})", flush=True)
+    try:
+        chain("r3h norq ch=16 (MXU bound, inexact)", run_kern(
+            kern_norq, conv_consts, xp0, 64, 16, plane_spec),
+            xp0, work=conv_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"norq: FAILS ({str(e)[:110]})", flush=True)
+    for ch in (8, 16):
+        try:
+            chain(f"r3h pro(f32-in) ch={ch}", run_kern(
+                kern_pro, pro_consts, x0, 64, ch, f32_spec),
+                x0, work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"pro ch={ch}: FAILS ({str(e)[:130]})", flush=True)
+
+    fx = make_int8_forward_xla(qm)
+    cls_xla = jax.jit(lambda xb: jnp.argmax(fx(xb), -1))
+    sec = chain("r3h XLA int8 e2e", cls_xla, x0, work=conv_work)
+    print(f"   -> xla_int8: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
+
+
+# ----------------------------------------------------------------------- r3i
+def probe_r3i():
+    """Round-3 probe 9: push the epi-pipelined conv (r3h: 897us at ch=16,
+    norq bound 738us) and find a prologue formulation Mosaic will compile.
+
+      epi bb sweep    block_b 32/64/128 at ch=16 (VMEM pressure vs grid)
+      epi-split       rq1 split in column halves, interleaved between the
+                      two conv2 N-halves (finer MXU/VPU alternation)
+      proK1..proK3    standalone prologue pallas kernels isolating the
+                      r3f/r3h compile crash: K1 = int8 lane-slices + single
+                      full store; K2 = all-f32 build, quantize last; K3 =
+                      per-plane o_ref[:, j, :] stores (r3f's form)
+      convC1          conv kernel reading raw f32, tap build in f32 concat
+                      then ONE quantize (avoids narrow int8 slice/concat)
+      bsweep          best conv variant at B=2048/4096/8192
+    """
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        expand_conv1_weights, expand_conv1_weights_v9, expand_tap_planes,
+        pack_conv2_weights_tap384,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1e = expand_conv1_weights(qm.w1p)
+    w1v9 = expand_conv1_weights_v9(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    pro_consts = [jnp.asarray(a) for a in (w1v9, qm.m1, qm.o1, w2k, m2p, o2p)]
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+    xp0 = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 8, T_IN), np.int32).astype(np.int8))
+
+    def shift_add(z, t_len):
+        s = (z[:, 0 : t_len - 2, 0:128]
+             + z[:, 1 : t_len - 1, 128:256]
+             + z[:, 2:t_len, 256:384])
+        return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+    def kern_epi(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                 o_ref, *, chunk):
+        tb, t_len = xp_ref.shape[0], xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1q = requantize(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            if z_prev is not None:
+                o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                    shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+            if a1_next is not None:
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        o_ref[(n - 1) * chunk :] = requantize(
+            shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+
+    def kern_episplit(xp_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                      o_ref, *, chunk):
+        """epi + conv2 issued as two N=192 halves with the next chunk's rq1
+        column-halves interleaved between them."""
+        tb, t_len = xp_ref.shape[0], xp_ref.shape[2]
+        n = tb // chunk
+
+        def dot1(ci):
+            xt = xp_ref[ci * chunk : (ci + 1) * chunk]
+            xe = jnp.swapaxes(xt, 1, 2).reshape(chunk * t_len, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def rq_half(a1, h):
+            cols = slice(h * 256, (h + 1) * 256)
+            return requantize(a1[:, cols], m1_ref[cols], o1_ref[cols],
+                              relu=True)
+
+        a1 = dot1(0)
+        a1q = jnp.concatenate([rq_half(a1, 0), rq_half(a1, 1)], axis=1)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None
+            zl = jax.lax.dot_general(
+                a1q, w2_ref[:, 0:192], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            h0 = rq_half(a1_next, 0) if a1_next is not None else None
+            zr = jax.lax.dot_general(
+                a1q, w2_ref[:, 192:384], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            h1 = rq_half(a1_next, 1) if a1_next is not None else None
+            z = jnp.concatenate([zl, zr], axis=1).reshape(
+                chunk, t_len, 3 * 128)
+            if z_prev is not None:
+                o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                    shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+            if a1_next is not None:
+                a1q = jnp.concatenate([h0, h1], axis=1)
+            z_prev = z
+        o_ref[(n - 1) * chunk :] = requantize(
+            shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+
+    def run_conv(kern, consts, bb, ch, in_shape, batch=BATCH):
+        def f(xin):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(batch // bb,),
+                in_specs=[pl.BlockSpec((bb,) + in_shape,
+                                       lambda i: (i, 0, 0))]
+                + [_spec(a) for a in consts],
+                out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((batch, T_IN, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(xin, *consts)
+        return f
+
+    for bb in (32, 64, 128):
+        try:
+            chain(f"r3i epi ch=16 bb={bb}",
+                  run_conv(kern_epi, conv_consts, bb, 16, (8, T_IN)),
+                  xp0, work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"epi bb={bb}: FAILS ({str(e)[:110]})", flush=True)
+    try:
+        chain("r3i episplit ch=16 bb=64",
+              run_conv(kern_episplit, conv_consts, 64, 16, (8, T_IN)),
+              xp0, work=conv_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"episplit: FAILS ({str(e)[:110]})", flush=True)
+
+    # ---- prologue kernels: isolate the Mosaic crash
+    def proK1(x_ref, o_ref):  # int8 lane-slices, one full store
+        xq = jnp.clip(jnp.round(x_ref[:] * inv_sx), -127.0, 127.0
+                      ).astype(jnp.int8)                   # (bb, 2, T)
+        t_len = x_ref.shape[2]
+        t1 = t_len - 2
+        cols = [jnp.pad(xq[:, h, k : k + t1], ((0, 0), (0, 2)))
+                for h in range(2) for k in range(3)]
+        xp = jnp.stack(cols, axis=-2)                      # (bb, 6, T)
+        o_ref[:] = jnp.pad(xp, ((0, 0), (0, 2), (0, 0)))
+
+    def proK2(x_ref, o_ref):  # all-f32 build, quantize last
+        xf = x_ref[:]                                      # (bb, 2, T) f32
+        t_len = x_ref.shape[2]
+        t1 = t_len - 2
+        cols = [jnp.pad(xf[:, h, k : k + t1], ((0, 0), (0, 2)))
+                for h in range(2) for k in range(3)]
+        xp = jnp.pad(jnp.stack(cols, axis=-2), ((0, 0), (0, 2), (0, 0)))
+        o_ref[:] = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0
+                            ).astype(jnp.int8)
+
+    def proK3(x_ref, o_ref):  # r3f's per-plane stores
+        xq = jnp.clip(jnp.round(x_ref[:] * inv_sx), -127.0, 127.0
+                      ).astype(jnp.int8)
+        t_len = x_ref.shape[2]
+        t1 = t_len - 2
+        for h in range(2):
+            for k in range(3):
+                o_ref[:, h * 3 + k, :] = jnp.pad(
+                    xq[:, h, k : k + t1], ((0, 0), (0, 2)))
+        o_ref[:, 6, :] = jnp.zeros_like(xq[:, 0, :])
+        o_ref[:, 7, :] = jnp.zeros_like(xq[:, 0, :])
+
+    def run_pro(kern, bb=256):
+        def f(x):
+            return pl.pallas_call(
+                kern, grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, T_IN), lambda i: (i, 0, 0))],
+                out_specs=pl.BlockSpec((bb, 8, T_IN), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 8, T_IN), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(x)
+        return f
+
+    for name, k in (("proK1 i8-slices", proK1), ("proK2 f32-build", proK2),
+                    ("proK3 per-plane-store", proK3)):
+        try:
+            chain(f"r3i {name}", run_pro(k), x0, work=None)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILS ({str(e)[:110]})", flush=True)
+
+    # ---- convC1: raw f32 in, taps built in f32, ONE quantize, epi pipeline
+    def kern_convC1(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                    o_ref, *, chunk):
+        tb, t_len = x_ref.shape[0], x_ref.shape[2]
+        m = chunk * t_len
+        n = tb // chunk
+
+        def dot1(ci):
+            xb = x_ref[ci * chunk : (ci + 1) * chunk]      # (chunk, 2, T) f32
+            xt = jnp.swapaxes(xb, 1, 2).reshape(m, 2)
+            xtp = jnp.pad(xt, ((0, 2), (0, 6)))
+            xe_f = jnp.concatenate(
+                [xtp[0:m, 0:2], xtp[1 : 1 + m, 0:2], xtp[2 : 2 + m, 0:2],
+                 xtp[0:m, 2:4]], axis=1)                   # (m, 8) f32
+            xe = jnp.clip(jnp.round(xe_f * inv_sx), -127.0, 127.0
+                          ).astype(jnp.int8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        a1q = requantize(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            if z_prev is not None:
+                o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                    shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+            if a1_next is not None:
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        o_ref[(n - 1) * chunk :] = requantize(
+            shift_add(z_prev, t_len), m2_ref[:], o2_ref[:], relu=True)
+
+    for ch in (16,):
+        try:
+            chain(f"r3i convC1 f32-in ch={ch}",
+                  run_conv(kern_convC1, pro_consts, 64, ch, (2, T_IN)),
+                  x0, work=conv_work)
+        except Exception as e:  # noqa: BLE001
+            print(f"convC1: FAILS ({str(e)[:130]})", flush=True)
+
+    # ---- batch sweep of epi ch=16
+    for b in (2048, 8192):
+        xb = jnp.asarray(rng.integers(-127, 127, (b, 8, T_IN), np.int32
+                                      ).astype(np.int8))
+        try:
+            chain(f"r3i epi ch=16 B={b}",
+                  run_conv(kern_epi, conv_consts, 64, 16, (8, T_IN),
+                           batch=b),
+                  xb, batch=b, work=conv_work * b // BATCH)
+        except Exception as e:  # noqa: BLE001
+            print(f"B={b}: FAILS ({str(e)[:110]})", flush=True)
+
+
 PROBES = {
+    "r3i": probe_r3i,
+    "r3h": probe_r3h,
     "r3": probe_r3,
     "r3b": probe_r3b,
     "r3c": probe_r3c,

@@ -192,7 +192,8 @@ def test_expand_conv1_weights_tapk_layout():
     assert wk.sum() == 2 * w.sum()
 
 
-@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5", "v6"])
+@pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5", "v6",
+                                     "v7"])
 def test_make_int8_predict_all_versions_agree(setup, version):
     """Every selectable eval kernel version produces golden labels
     (interpret mode; on-chip parity is proven by scripts/train_eval_full)."""
