@@ -115,11 +115,15 @@ class StreamConfig:
     block_len: int = 1 << 15          # overlap-save block length (per device)
     normalize_cfo: bool = True
     # Per-frame Oerder&Meyr timing estimate + polyphase fractional-delay
-    # correction (SURVEY.md N6 "timing normalization"). Default ON since r3:
-    # the gather-free formulation costs ~60us/iter at bench shapes (~4% of
-    # the classifier; was 4.4ms with the phase-bank formulation) —
-    # VERDICT r2 next #6 measured-cost decision.
-    normalize_timing: bool = True
+    # correction (SURVEY.md N6 "timing normalization"). Implemented, exact
+    # (streamed==batch test), and selectable — but default OFF per the
+    # VERDICT r2 #6 measured-cost rule (">5% -> off + record the cost"):
+    # the full config-4 chain measures 296 MS/s with timing vs 360 without
+    # (artifacts/bench_r3_stream.json, 2026-08-21) — a 15.6% throughput
+    # cost. (The earlier ~60us/iter probe figure was measured at probe
+    # shapes and did not transfer to the end-to-end chain.) CFO/carrier
+    # normalization stays ON: its measured cost is 1.5%.
+    normalize_timing: bool = False
     timing_phases: int = 32
     sps: int = 8                      # samples/symbol at the frame rate
 

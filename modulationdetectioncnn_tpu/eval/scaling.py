@@ -51,7 +51,16 @@ MEASURED_TRAIN_SAMPLES_PER_SEC = 103_746.0
 
 
 def _measured_train_rate(art_dir: str = "/root/repo/artifacts") -> float:
-    """samples/s from the recorded training history (last entry)."""
+    """Measured steady-state samples/s on the attached chip.
+
+    Prefers artifacts/train_rate_r3.json (a dedicated idle-chip run whose
+    per-window rate excludes the one-time compile and eval pauses); falls
+    back to the flagship run's history tail, then to the r2 constant."""
+    try:
+        with open(os.path.join(art_dir, "train_rate_r3.json")) as f:
+            return float(json.load(f)["train_samples_per_sec_clean"])
+    except (OSError, KeyError, ValueError):
+        pass
     path = os.path.join(art_dir, "summary_rml11.json")
     try:
         with open(path) as f:

@@ -259,6 +259,7 @@ def train(
     history = []
     t_start = time.time()
     samples_done = 0
+    t_last, samples_last = t_start, 0
     with mesh:
         for step in range(start_step + 1, tc.num_steps + 1):
             key, dk = jax.random.split(key)
@@ -274,16 +275,28 @@ def train(
             samples_done += tc.batch_size
             if step % tc.eval_every == 0 or step == tc.num_steps:
                 loss_v, acc_v = float(loss), float(acc)
+                # samples_per_sec is the rate over the CURRENT log window
+                # (the float(loss) above synced the device), not the
+                # cumulative average — the old cumulative figure folded the
+                # one-time compile into every reading and understated the
+                # steady-state rate several-fold on this slow-compile
+                # tunnel. samples_per_sec_avg keeps the cumulative figure.
+                now = time.time()
                 rec = {
                     "step": step,
                     "loss": round(loss_v, 5),
                     "train_acc": round(acc_v, 5),
-                    "samples_per_sec": round(samples_done / (time.time() - t_start)),
+                    "samples_per_sec": round(
+                        (samples_done - samples_last) / (now - t_last)),
+                    "samples_per_sec_avg": round(
+                        samples_done / (now - t_start)),
                 }
                 if eval_data is not None:
                     rec["eval_acc"] = round(
                         evaluate(eval_step, params, *eval_data), 5
                     )
+                # reset AFTER eval so eval time never pollutes a window
+                t_last, samples_last = time.time(), samples_done
                 log.info("%s", rec)
                 jlog.write(**rec)
                 history.append(rec)

@@ -2536,7 +2536,170 @@ def probe_r3i():
             print(f"B={b}: FAILS ({str(e)[:110]})", flush=True)
 
 
+# ----------------------------------------------------------------------- r3k
+def probe_r3k():
+    """Round-3 probe 10: fuse dense1/dense2/argmax INTO the v7 conv kernel.
+
+    bench_r3.json: v7 full = conv 1125us + dense 148us + glue 49us. The
+    batched-over-t dense1 lost big (r3e v8: +900us), but a MULTI-DIM
+    contraction dot_general (contract (t, c) x (t, c, n) in ONE op, no
+    batch dims) may lower better. Probes:
+      mdfeas   standalone multi-dim contraction feasibility + rate
+      v10      whole-net: v7 conv + per-chunk multi-dim dense1 into a
+               VMEM scratch + dense2/argmax at block end
+      v7ref    same-process v7 full reference
+    """
+    from modulationdetectioncnn_tpu.ops import infer
+    from modulationdetectioncnn_tpu.ops.infer import (
+        expand_conv1_weights_v9, pack_conv2_weights_tap384,
+        pack_dense1_weights_v3,
+    )
+
+    qm = _qm()
+    inv_sx = float(1.0 / qm.s_x)
+    c2 = qm.m2.shape[0]
+    w1v9 = expand_conv1_weights_v9(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    w3p = pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
+    w3_3d = jnp.asarray(np.asarray(w3p).reshape(T_IN, 128, 256))
+    w4 = infer._pad_cols(qm.w4)
+    s4 = infer._pad_cols(qm.s4)
+    b4 = infer._pad_cols(qm.b4)
+    all_consts = ([jnp.asarray(a) for a in (w1v9, qm.m1, qm.o1, w2k, m2p,
+                                            o2p)]
+                  + [w3_3d]
+                  + [jnp.asarray(a) for a in (qm.m3, qm.o3, w4, s4, b4)])
+    conv_work = 2 * BATCH * T_IN * (8 + 3 * 128) * 512
+    dense_work = 2 * BATCH * (T_IN * 128 * 256 + 256 * 128)
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+
+    # ---- A. multi-dim contraction feasibility: (bb, T, 128) x (T, 128, N)
+    def _md_kernel(s_ref, w3_ref, o_ref):
+        p = jax.lax.dot_general(
+            s_ref[:], w3_ref[:], (((1, 2), (0, 1)), ((), ())),
+            preferred_element_type=jnp.int32)
+        o_ref[:] = p
+
+    s0 = jnp.asarray(
+        rng.integers(0, 80, (BATCH, T_IN, 128), np.int32).astype(np.int8))
+
+    def md(dbb=512):
+        return lambda sb: pl.pallas_call(
+            _md_kernel,
+            grid=(BATCH // dbb,),
+            in_specs=[pl.BlockSpec((dbb, T_IN, 128), lambda i: (i, 0, 0)),
+                      pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))],
+            out_specs=pl.BlockSpec((dbb, 256), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 256), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(sb, w3_3d)
+    for dbb in (256, 512):
+        try:
+            chain(f"r3k multi-dim dense1 dbb={dbb}", md(dbb), s0,
+                  work=2 * BATCH * T_IN * 128 * 256)
+        except Exception as e:  # noqa: BLE001
+            print(f"md dbb={dbb}: FAILS ({str(e)[:120]})", flush=True)
+
+    # ---- B. v10 whole-net
+    def kern_v10(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                 w3_ref, m3_ref, o3_ref, w4_ref, s4_ref, b4_ref, o_ref,
+                 a3_scr, *, chunk):
+        tb, t_len = x_ref.shape[0], x_ref.shape[2]
+        m = chunk * t_len
+        n = tb // chunk
+
+        def dot1(ci):
+            xb = x_ref[ci * chunk : (ci + 1) * chunk]
+            xp = jnp.concatenate(
+                [xb, pltpu.roll(xb, t_len - 1, 2), pltpu.roll(xb, t_len - 2, 2),
+                 jnp.zeros_like(xb)], axis=1)
+            xq = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0
+                          ).astype(jnp.int8)
+            xe = jnp.swapaxes(xq, 1, 2).reshape(m, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def shift_add(z):
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+        def dense1(ci, sq):
+            p = jax.lax.dot_general(
+                sq, w3_ref[:], (((1, 2), (0, 1)), ((), ())),
+                preferred_element_type=jnp.int32)
+            a3_scr[ci * chunk : (ci + 1) * chunk] = requantize(
+                p, m3_ref[:], o3_ref[:], relu=True)
+
+        a1q = requantize(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 3 * 128)
+            if z_prev is not None:
+                dense1(ci - 1, requantize(
+                    shift_add(z_prev), m2_ref[:], o2_ref[:], relu=True))
+            if a1_next is not None:
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        dense1(n - 1, requantize(
+            shift_add(z_prev), m2_ref[:], o2_ref[:], relu=True))
+        acc4 = jax.lax.dot_general(
+            a3_scr[:], w4_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(lane < 11, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        idx = jnp.where(logits >= mx, lane, 128)
+        o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+    def v10(bb=64, ch=8):
+        specs = ([pl.BlockSpec((bb, 2, T_IN), lambda i: (i, 0, 0))]
+                 + [_spec(a) for a in all_consts[:6]]
+                 + [pl.BlockSpec((T_IN, 128, 256), lambda i: (0, 0, 0))]
+                 + [_spec(a) for a in all_consts[7:]])
+
+        def f(x):
+            return pl.pallas_call(
+                functools.partial(kern_v10, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=specs,
+                out_specs=pl.BlockSpec((bb, 1), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((bb, 256), jnp.int8)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(x, *all_consts)
+        return f
+
+    for bb, ch in ((64, 8), (64, 16), (128, 8)):
+        try:
+            sec = chain(f"r3k v10 WHOLE-NET bb={bb} ch={ch}", v10(bb, ch),
+                        x0, work=conv_work + dense_work)
+            print(f"   -> v10: {BATCH * 128 / sec / 1e6:.1f} MS/s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"v10 bb={bb} ch={ch}: FAILS ({str(e)[:130]})", flush=True)
+
+    classify7 = infer.make_int8_classifier_v7(qm)
+    sec = chain("r3k v7 full (same-process ref)", classify7, x0,
+                work=conv_work + dense_work)
+    print(f"   -> v7: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
+
+
 PROBES = {
+    "r3k": probe_r3k,
     "r3i": probe_r3i,
     "r3h": probe_r3h,
     "r3": probe_r3,
