@@ -20,7 +20,8 @@ TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 # Verified code paths, fastest-first preference for the headline number.
 # (pallas_bf16_v4 exists but is excluded: its Mosaic compile exceeds 9 min
 # through this platform's remote compiler — select it explicitly to retry.)
-BACKENDS = ("pallas_int8_v7", "pallas_int8_v6", "pallas_int8_v4", "pallas_int8_v3",
+BACKENDS = ("pallas_int8_v9", "pallas_int8_v7", "pallas_int8_v6",
+            "pallas_int8_v4", "pallas_int8_v3",
             "pallas_int8", "pallas_bf16", "xla_bf16", "xla_int8")
 
 
@@ -67,14 +68,15 @@ def make_classifier(cfg, backend: str, batch: int):
         calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
         qm = quantize(model, params, calib)
         if backend in ("pallas_int8_v3", "pallas_int8_v4", "pallas_int8_v5",
-                       "pallas_int8_v6", "pallas_int8_v7"):
+                       "pallas_int8_v6", "pallas_int8_v7", "pallas_int8_v9"):
             from modulationdetectioncnn_tpu.ops import infer as _inf
 
             make = {"pallas_int8_v3": _inf.make_int8_classifier_v3,
                     "pallas_int8_v4": _inf.make_int8_classifier_v4,
                     "pallas_int8_v5": _inf.make_int8_classifier_v5,
                     "pallas_int8_v6": _inf.make_int8_classifier_v6,
-                    "pallas_int8_v7": _inf.make_int8_classifier_v7}[backend]
+                    "pallas_int8_v7": _inf.make_int8_classifier_v7,
+                    "pallas_int8_v9": _inf.make_int8_classifier_v9}[backend]
             return make(qm), (x,)  # emits labels directly
         if backend == "xla_int8":
             from modulationdetectioncnn_tpu.ops.infer_xla import (
@@ -120,11 +122,13 @@ def _measure(fwd, args, bc, frame_len):
     samples = sorted(measure_per_iter_chained_samples(
         body, x0, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters
     ))
-    sec_per_iter = samples[0]  # headline = min (least-perturbed sample)
+    # Headline = MEDIAN timing sample (VERDICT r3 weak #5 / next #7): the
+    # defensible round-over-round number. The min (least-perturbed sample)
+    # stays in the stderr spread.
+    sec_per_iter = samples[len(samples) // 2]
     frames_per_sec = bc.batch_size / sec_per_iter
-    median = samples[len(samples) // 2]
     return frames_per_sec, frames_per_sec * frame_len, {
-        "samples_per_sec_median": round(bc.batch_size * frame_len / median),
+        "samples_per_sec_min": round(bc.batch_size * frame_len / samples[0]),
         "timing_samples_us": [round(s * 1e6, 1) for s in samples],
     }
 

@@ -142,10 +142,10 @@ class EvalConfig:
     backend: str = "flax"
     results_path: str = "results.json"
     int8_artifact: str | None = None  # dir of a saved QuantizedModel tree
-    # Which fused Pallas kernel the int8 backend runs (v1..v5). Default =
+    # Which fused Pallas kernel the int8 backend runs (v1..v8). Default =
     # the bench headline kernel, so the accuracy artifact proves the SAME
     # code path the throughput number measures (VERDICT r2 next #3).
-    int8_kernel: str = "v7"
+    int8_kernel: str = "v9"
     batch_size: int = 2048
 
 

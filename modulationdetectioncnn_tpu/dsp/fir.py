@@ -71,16 +71,74 @@ def fir_filter_iq(xiq: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:
     return _conv_iq(xiq, hj, up=1, down=1)
 
 
+def _resample_window_matrix(
+    h: np.ndarray, up: int, down: int, r_tile: int, k_pad: int, halo: int
+) -> np.ndarray:
+    """Polyphase weights (k_pad, r_tile*up) for the windows-matmul resampler:
+    W[k, q] = h[q*down + (halo - k)*up] (zero outside the tap range), so that
+    y[m*R*up + q] = sum_k W[k, q] * x[m*R*down - halo + k]."""
+    taps = len(h)
+    w = np.zeros((k_pad, r_tile * up), np.float32)
+    for q in range(r_tile * up):
+        for k in range(k_pad):
+            l = q * down + (halo - k) * up
+            if 0 <= l < taps:
+                w[k, q] = h[l]
+    return w
+
+
 def fir_resample_iq(
     xiq: jnp.ndarray, h: np.ndarray, up: int, down: int
 ) -> jnp.ndarray:
     """Rational up/down resampling on I/Q planes (..., 2, T). Output length
     ceil(T*up/down), matching the golden (full conv truncated to T*up, then
-    ::down)."""
-    hj = jnp.asarray(h, jnp.float32)
-    y = _conv_iq(xiq, hj, up=up, down=down)
-    out_len = -(-xiq.shape[-1] * up // down)  # ceil
-    return y[..., :out_len]
+    ::down; golden/dsp.py::fir_resample).
+
+    MXU formulation (VERDICT r3 next #4): the depthwise dilated-conv form
+    uses 2 of 128 vector lanes (batch-1, 2-channel) and measured 128 MS/s
+    end-to-end. Instead, outputs are produced in tiles of R*up from
+    overlapping input windows of K = R*down + halo samples (halo =
+    ceil((taps-1)/up) causal history), as ONE f32 matmul
+    (n_tiles*2, K) @ (K, R*up) against the precomputed polyphase weight
+    matrix. Windows are built gather-free from two shifted reshapes of the
+    zero-padded stream. Zero left-pad == the golden's causal zero history;
+    right zero-pad only feeds outputs past the truncation point (the conv
+    is causal, so valid outputs never read it).
+    """
+    taps = len(h)
+    t_in = xiq.shape[-1]
+    out_len = -(-t_in * up // down)  # ceil
+    halo = -(-(taps - 1) // up)
+    k_pad = 256 if (128 + halo) <= 256 else -(-(128 + halo) // 128) * 128
+    r_tile = (k_pad - halo) // down
+    if r_tile < 1 or k_pad - r_tile * down > r_tile * down:
+        # Degenerate geometry (huge taps vs tile): keep the conv form.
+        hj = jnp.asarray(h, jnp.float32)
+        y = _conv_iq(xiq, hj, up=up, down=down)
+        return y[..., :out_len]
+    s = r_tile * down
+    n_tiles = -(-out_len // (r_tile * up))
+    lead = xiq.shape[:-1]
+    b = int(np.prod(lead)) if lead else 1
+    x = xiq.reshape(b, t_in).astype(jnp.float32)
+    total = (n_tiles + 1) * s
+    x_pad = jnp.pad(x, [(0, 0), (halo, total - halo - t_in)])
+    w1 = x_pad[:, : n_tiles * s].reshape(b, n_tiles, s)
+    w2 = x_pad[:, s : (n_tiles + 1) * s].reshape(b, n_tiles, s)[
+        :, :, : k_pad - s
+    ]
+    windows = jnp.concatenate([w1, w2], axis=-1).reshape(
+        b * n_tiles, k_pad
+    )
+    wmat = jnp.asarray(
+        _resample_window_matrix(np.asarray(h, np.float64), up, down,
+                                r_tile, k_pad, halo)
+    )
+    y = jax.lax.dot_general(
+        windows, wmat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(b, n_tiles * r_tile * up)
+    return y[:, :out_len].reshape(lead + (out_len,))
 
 
 def fir_filter(x: jnp.ndarray, h: np.ndarray) -> jnp.ndarray:

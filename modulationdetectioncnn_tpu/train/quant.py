@@ -97,13 +97,33 @@ def quantize(model, params, calib_x: np.ndarray, percentile: float = 99.99) -> Q
         scales["s_x"], scales["a1"], scales["a2"], scales["a3"],
     )
 
-    # conv1: kernel (1,3,1,C1); per-out-channel scale.
+    # conv1: kernel (1,3,1,C1); per-out-channel scale — CONSTRAINED so the
+    # v9 kernel can fold the requantize into bf16 MXU weights exactly
+    # (ops/infer.py make_int8_classifier_v9):
+    #   - m1 snapped UP to a power of two (so w1_i8*m1 is bf16-exact and
+    #     every MXU product/partial-sum lies on the 2^e integer grid);
+    #   - (o1 + 0.5) snapped to an 8-bit-significand multiple of m1 (so the
+    #     bias K-lane term is bf16-exact AND on the same grid — the f32 MXU
+    #     accumulation is then exact in ANY order, < 2^24 on the grid).
+    # The requantize FORMULA (golden/quant.py) is unchanged; only the
+    # calibration constants move: weight scale by <=2x (snap-up never clips
+    # the int weights), offset by <= 1/256 relative — measured accuracy
+    # impact within the int8-vs-float 0.5% budget (artifacts eval).
     w1 = p["Conv1"]["kernel"].astype(np.float64)
     b1 = p["Conv1"]["bias"].astype(np.float64)
     s_w1 = _per_channel_scale(w1, (0, 1, 2))
-    w1p = pack_conv1_weights(_quant_w(w1, s_w1, (None, None, None, slice(None))))
-    m1_half = (s_x * s_w1 / s_a1).astype(np.float32)
-    o1_half = (b1 / s_a1).astype(np.float32)
+    m1_pow2 = 2.0 ** np.ceil(np.log2(s_x * s_w1 / s_a1))
+    s_w1_eff = m1_pow2 * s_a1 / s_x
+    w1p = pack_conv1_weights(
+        _quant_w(w1, s_w1_eff, (None, None, None, slice(None)))
+    )
+    m1_half = m1_pow2.astype(np.float32)
+    n = (b1 / s_a1 + 0.5) / m1_pow2
+    mag = np.maximum(np.abs(n), 1e-30)
+    grid = 2.0 ** np.maximum(np.floor(np.log2(mag)) - 7, 0.0)
+    n8 = np.round(n / grid) * grid
+    assert np.all(np.abs(n8) + 98_000 < 2 ** 24), "conv1 bias too large for the exact-grid fold"
+    o1_half = (n8 * m1_pow2 - 0.5).astype(np.float32)
     m1 = np.concatenate([m1_half, m1_half])
     o1 = np.concatenate([o1_half, o1_half])
 

@@ -32,11 +32,12 @@ def main(backend: str | None = None) -> None:
         quiet=True, backend=backend)
     print("cnn-only:", json.dumps(cnn), flush=True)
 
-    # normalize_timing defaults ON since r3 (config.py StreamConfig), so the
-    # default row already includes CFO + timing; the _off rows isolate costs.
+    # Defaults (config.py StreamConfig): CFO ON, timing OFF — the 'default'
+    # row is label-neutral and the explicit _on/_off rows isolate each cost
+    # regardless of future default flips (ADVICE r3 #1).
     variants = {
-        "default_cfo_timing_on": [],
-        "timing_off": ["stream.normalize_timing=false"],
+        "default": [],
+        "timing_on": ["stream.normalize_timing=true"],
         "resample_2_3": ["stream.resample_up=2", "stream.resample_down=3",
                          "stream.block_len=49152"],
         "cfo_off_timing_off": ["stream.normalize_cfo=false",

@@ -2698,7 +2698,811 @@ def probe_r3k():
     print(f"   -> v7: {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
 
 
+# ----------------------------------------------------------------------- r4
+def probe_r4():
+    """v8 candidate: TRANSPOSED conv stage — time on lanes (128/frame, zero
+    N padding), channels on sublanes (240 = 3 taps x 80, zero M padding).
+    Cuts padded MACs 29.9M -> ~19M/frame (VERDICT r3 next #1). Risks probed:
+      (a) pltpu.roll on int32 lanes (int8 roll crashes Mosaic, r3i);
+      (b) in-kernel (80, chunk, 128) -> (chunk, 80, 128) int8 store swap
+          (non-lane axes swap — lane dim untouched, unlike the r2 8<->128
+          sublane<->lane relayout);
+      (c) transposed dot orientation (240, 512) @ (512, m);
+      (d) full v8 conv stage prototype;
+      (e) dense from (80, B, 128) via loop-over-co dots (transpose-free alt).
+    """
+    t_len = 128
+    m = CH * t_len  # per-chunk lanes
+    inv_sx = np.float32(1.27)
+    w1t = jnp.asarray(rng.integers(-100, 100, (512, 8)).astype(np.int8))
+    w2s = jnp.asarray(rng.integers(-100, 100, (240, 512)).astype(np.int8))
+    m1 = jnp.asarray(rng.random((512, 1)).astype(np.float32) * 1e-3)
+    o1 = jnp.asarray(rng.random((512, 1)).astype(np.float32))
+    m2 = jnp.asarray(rng.random((80, 1)).astype(np.float32) * 1e-3)
+    o2 = jnp.asarray(rng.random((80, 1)).astype(np.float32))
+    conv_work = 2 * BATCH * (128 * 8 * 512 + 240 * 512 * 128)
+
+    # (a) int32 lane roll
+    def k_roll(x_ref, o_ref):
+        o_ref[:] = x_ref[:] + pltpu.roll(x_ref[:], x_ref.shape[1] - 1, 1)
+
+    def f_roll(x):
+        return pl.pallas_call(
+            k_roll,
+            grid=(16,),
+            in_specs=[pl.BlockSpec((80, 2048), lambda i: (i, 0))],
+            out_specs=pl.BlockSpec((80, 2048), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((16 * 80, 2048), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x)
+
+    xr = jnp.asarray(rng.integers(-1000, 1000, (16 * 80, 2048), np.int32))
+    try:
+        chain("(a) int32 lane roll (80,2048)x16", f_roll, xr, batch=16 * 80)
+    except Exception as e:  # noqa: BLE001
+        print(f"(a) int32 roll: FAILS ({str(e)[:160]})", flush=True)
+
+    # (b) non-lane-axes swap store
+    def k_swap(x_ref, o_ref, *, chunk):
+        nci = x_ref.shape[1] // chunk
+        for ci in range(nci):
+            blk = x_ref[:, ci * chunk : (ci + 1) * chunk, :]
+            o_ref[ci * chunk : (ci + 1) * chunk] = jnp.swapaxes(blk, 0, 1)
+
+    def f_swap(x):
+        return pl.pallas_call(
+            functools.partial(k_swap, chunk=CH),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((80, BB, 128), lambda i: (0, i, 0))],
+            out_specs=pl.BlockSpec((BB, 80, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 80, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(x)
+
+    xs = jnp.asarray(
+        rng.integers(-127, 127, (80, BATCH, 128), np.int32).astype(np.int8))
+    try:
+        chain("(b) swap store (80,B,128)->(B,80,128)", f_swap, xs)
+    except Exception as e:  # noqa: BLE001
+        print(f"(b) swap store: FAILS ({str(e)[:160]})", flush=True)
+
+    # (c) transposed conv2 dot only: (240,512)@(512,m) + i8 store
+    def k_dotT(a_ref, w_ref, o_ref, *, chunk):
+        nci = a_ref.shape[1] // (chunk * t_len)
+        for ci in range(nci):
+            a = a_ref[:, ci * m : (ci + 1) * m]
+            z = jax.lax.dot_general(
+                w_ref[:], a, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            o_ref[:, ci * m : (ci + 1) * m] = (z >> 9).astype(jnp.int8)
+
+    def f_dotT(a):
+        return pl.pallas_call(
+            functools.partial(k_dotT, chunk=CH),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((512, BB * t_len), lambda i: (0, i)),
+                      pl.BlockSpec((240, 512), lambda i: (0, 0))],
+            out_specs=pl.BlockSpec((240, BB * t_len), lambda i: (0, i)),
+            out_shape=jax.ShapeDtypeStruct((240, BATCH * t_len), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(a, w2s)
+
+    aT = jnp.asarray(
+        rng.integers(0, 127, (512, BATCH * t_len), np.int32).astype(np.int8))
+    try:
+        chain("(c) dotT (240,512)@(512,2048)/chunk", f_dotT, aT,
+              work=2 * BATCH * 240 * 512 * 128)
+    except Exception as e:  # noqa: BLE001
+        print(f"(c) dotT: FAILS ({str(e)[:160]})", flush=True)
+
+    # (d) full v8 conv stage prototype
+    def k_v8(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+             *, chunk):
+        nci = x_ref.shape[1] // (chunk * t_len)
+        for ci in range(nci):
+            xb = x_ref[:, ci * m : (ci + 1) * m]  # (2, m) f32
+            xp = jnp.concatenate(
+                [xb, pltpu.roll(xb, m - 1, 1), pltpu.roll(xb, m - 2, 1),
+                 jnp.zeros_like(xb)], axis=0)  # (8, m): row 2k+h
+            xq = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0
+                          ).astype(jnp.int8)
+            a1 = jax.lax.dot_general(
+                w1_ref[:], xq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (512, m)
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            z = jax.lax.dot_general(
+                w2_ref[:], a1q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)  # (240, m)
+            s = (z[0:80] + pltpu.roll(z[80:160], m - 1, 1)
+                 + pltpu.roll(z[160:240], m - 2, 1))
+            out = requantize(s, m2_ref[:], o2_ref[:], relu=True)  # (80, m)
+            o_ref[ci * chunk : (ci + 1) * chunk] = jnp.swapaxes(
+                out.reshape(80, chunk, t_len), 0, 1)
+
+    consts = [w1t, m1, o1, w2s, m2, o2]
+
+    def f_v8(x):
+        return pl.pallas_call(
+            functools.partial(k_v8, chunk=CH),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((2, BB * t_len), lambda i: (0, i))]
+            + [_spec(c) for c in consts],
+            out_specs=pl.BlockSpec((BB, 80, t_len), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 80, t_len), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(x, *consts)
+
+    xw = jnp.asarray(
+        rng.standard_normal((2, BATCH * t_len)).astype(np.float32))
+    try:
+        sec = chain("(d) v8 conv stage full", f_v8, xw, work=conv_work)
+        print(f"   -> conv-only rate: {BATCH * 128 / sec / 1e6:.1f} MS/s",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"(d) v8 conv: FAILS ({str(e)[:300]})", flush=True)
+
+    # (d2) v8 with 2-deep epilogue pipelining (v7-style order)
+    def k_v8p(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+              *, chunk):
+        nci = x_ref.shape[1] // (chunk * t_len)
+
+        def dot1(ci):
+            xb = x_ref[:, ci * m : (ci + 1) * m]
+            xp = jnp.concatenate(
+                [xb, pltpu.roll(xb, m - 1, 1), pltpu.roll(xb, m - 2, 1),
+                 jnp.zeros_like(xb)], axis=0)
+            xq = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0
+                          ).astype(jnp.int8)
+            return jax.lax.dot_general(
+                w1_ref[:], xq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def epi(z, ci):
+            s = (z[0:80] + pltpu.roll(z[80:160], m - 1, 1)
+                 + pltpu.roll(z[160:240], m - 2, 1))
+            out = requantize(s, m2_ref[:], o2_ref[:], relu=True)
+            o_ref[ci * chunk : (ci + 1) * chunk] = jnp.swapaxes(
+                out.reshape(80, chunk, t_len), 0, 1)
+
+        a1q = requantize(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(nci):
+            a1_next = dot1(ci + 1) if ci + 1 < nci else None
+            z = jax.lax.dot_general(
+                w2_ref[:], a1q, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            if z_prev is not None:
+                epi(z_prev, ci - 1)
+            if a1_next is not None:
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        epi(z_prev, nci - 1)
+
+    def f_v8p(x):
+        return pl.pallas_call(
+            functools.partial(k_v8p, chunk=CH),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((2, BB * t_len), lambda i: (0, i))]
+            + [_spec(c) for c in consts],
+            out_specs=pl.BlockSpec((BB, 80, t_len), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 80, t_len), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(x, *consts)
+
+    try:
+        sec = chain("(d2) v8 conv stage pipelined", f_v8p, xw,
+                    work=conv_work)
+        print(f"   -> conv-only rate: {BATCH * 128 / sec / 1e6:.1f} MS/s",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"(d2) v8 pipelined: FAILS ({str(e)[:300]})", flush=True)
+
+    # (e) dense variants on the new K=10240 layout
+    w3a = jnp.asarray(rng.integers(-100, 100, (80 * 128, 256)
+                                   ).astype(np.int8))
+    m3 = jnp.asarray(rng.random(256).astype(np.float32) * 1e-3)
+    o3 = jnp.asarray(rng.random(256).astype(np.float32))
+    w4 = jnp.asarray(rng.integers(-100, 100, (256, 128)).astype(np.int8))
+    s4 = jnp.asarray(rng.random(128).astype(np.float32) * 1e-3)
+    b4 = jnp.asarray(rng.random(128).astype(np.float32))
+    dense_work = 2 * BATCH * (80 * 128 * 256 + 256 * 128)
+
+    from modulationdetectioncnn_tpu.ops.infer import _dense_argmax_int8_kernel
+    dcs = [w3a, m3, o3, w4, s4, b4]
+
+    def f_dense_flat(h):
+        dbb = 256
+        return pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=11),
+            grid=(BATCH // dbb,),
+            in_specs=[pl.BlockSpec((dbb, 80 * 128), lambda i: (i, 0))]
+            + [_spec(c) for c in dcs],
+            out_specs=pl.BlockSpec((dbb, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(h, *dcs)
+
+    hf = jnp.asarray(rng.integers(0, 127, (BATCH, 80 * 128), np.int32
+                                  ).astype(np.int8))
+    try:
+        chain("(e) dense+argmax K=10240 flat", f_dense_flat, hf,
+              work=dense_work)
+    except Exception as e:  # noqa: BLE001
+        print(f"(e) dense flat: FAILS ({str(e)[:160]})", flush=True)
+
+
+# ---------------------------------------------------------------------- r4b
+def probe_r4b():
+    """v8b candidate: v7 orientation (activations stream on M, weights
+    stationary) with conv2 packed N=384 -> 256 (taps at lane offsets
+    0/80/160) and the shift-add done with int32 lane ROLLS (proven 8 ns/frame
+    in r4(a)). Cuts conv2 padded MACs 25.2M -> 16.8M/frame.
+    Variants: plain, v7-style epilogue pipelining, fused conv+dense.
+    """
+    t_len = 128
+    inv_sx = np.float32(1.27)
+    w1e = jnp.asarray(rng.integers(-100, 100, (8, 512)).astype(np.int8))
+    w2r = jnp.asarray(rng.integers(-100, 100, (512, 256)).astype(np.int8))
+    m1 = jnp.asarray(rng.random(512).astype(np.float32) * 1e-3)
+    o1 = jnp.asarray(rng.random(512).astype(np.float32))
+    m2 = jnp.asarray(rng.random(128).astype(np.float32) * 1e-3)
+    o2 = jnp.asarray(rng.random(128).astype(np.float32))
+    conv_work = 2 * BATCH * t_len * (8 + 256) * 512
+    consts = [w1e, m1, o1, w2r, m2, o2]
+    xw = jnp.asarray(
+        rng.standard_normal((BATCH, 2, t_len)).astype(np.float32))
+
+    def dot1(x_ref, w1_ref, ci, chunk, interp=False):
+        m = chunk * t_len
+        xb = x_ref[ci * chunk : (ci + 1) * chunk]      # (chunk, 2, T) f32
+        xp = jnp.concatenate(
+            [xb, pltpu.roll(xb, t_len - 1, 2), pltpu.roll(xb, t_len - 2, 2),
+             jnp.zeros_like(xb)], axis=1)              # (chunk, 8, T)
+        xq = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xe = jnp.swapaxes(xq, 1, 2).reshape(m, 8)
+        return jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def shift_add_roll(z, chunk):
+        # z (chunk, T, 256) int32; taps at lane offsets 0/80/160
+        r1 = pltpu.roll(z, 256 - 80, 2)
+        r2 = pltpu.roll(z, 256 - 160, 2)
+        s = (z[:, 0 : t_len - 2, 0:t_len]
+             + r1[:, 1 : t_len - 1, 0:t_len]
+             + r2[:, 2:t_len, 0:t_len])
+        return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))  # (chunk, T, 128)
+
+    # -------- plain v8b conv stage
+    def k_v8b(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+              *, chunk):
+        tb = x_ref.shape[0]
+        for ci in range(tb // chunk):
+            a1q = requantize(dot1(x_ref, w1_ref, ci, chunk),
+                             m1_ref[:], o1_ref[:], relu=True)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 256)
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                shift_add_roll(z, chunk), m2_ref[:], o2_ref[:], relu=True)
+
+    # -------- epilogue-pipelined v8b (v7 order)
+    def k_v8bp(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+               *, chunk):
+        tb = x_ref.shape[0]
+        n = tb // chunk
+        a1q = requantize(dot1(x_ref, w1_ref, 0, chunk),
+                         m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(x_ref, w1_ref, ci + 1, chunk) if ci + 1 < n else None
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 256)
+            if z_prev is not None:
+                o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                    shift_add_roll(z_prev, chunk), m2_ref[:], o2_ref[:],
+                    relu=True)
+            if a1_next is not None:
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        o_ref[(n - 1) * chunk :] = requantize(
+            shift_add_roll(z_prev, chunk), m2_ref[:], o2_ref[:], relu=True)
+
+    def f_conv(kern, bb=BB, ch=CH):
+        def f(x):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, t_len), lambda i: (i, 0, 0))]
+                + [_spec(c) for c in consts],
+                out_specs=pl.BlockSpec((bb, t_len, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, t_len, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(x, *consts)
+        return f
+
+    for name, kern in (("v8b conv plain", k_v8b), ("v8b conv pipelined", k_v8bp)):
+        try:
+            sec = chain(name, f_conv(kern), xw, work=conv_work)
+            print(f"   -> {BATCH * 128 / sec / 1e6:.1f} MS/s conv-only",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILS ({str(e)[:300]})", flush=True)
+
+    # -------- fused conv+dense single kernel (skips the 67MB x2 HBM trip)
+    w3a = jnp.asarray(rng.integers(-100, 100, (t_len * 128, 256)
+                                   ).astype(np.int8))
+    m3 = jnp.asarray(rng.random(256).astype(np.float32) * 1e-3)
+    o3 = jnp.asarray(rng.random(256).astype(np.float32))
+    w4 = jnp.asarray(rng.integers(-100, 100, (256, 128)).astype(np.int8))
+    s4 = jnp.asarray(rng.random(128).astype(np.float32) * 1e-3)
+    b4 = jnp.asarray(rng.random(128).astype(np.float32))
+    fcs = consts + [w3a, m3, o3, w4, s4, b4]
+    full_work = conv_work + 2 * BATCH * (t_len * 128 * 256 + 256 * 128)
+
+    def k_fused(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref,
+                w3_ref, m3_ref, o3_ref, w4_ref, s4_ref, b4_ref, o_ref,
+                h_scr, *, chunk):
+        tb = x_ref.shape[0]
+        n = tb // chunk
+        a1q = requantize(dot1(x_ref, w1_ref, 0, chunk),
+                         m1_ref[:], o1_ref[:], relu=True)
+        z_prev = None
+        for ci in range(n):
+            a1_next = dot1(x_ref, w1_ref, ci + 1, chunk) if ci + 1 < n else None
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 256)
+            if z_prev is not None:
+                h_scr[(ci - 1) * chunk : ci * chunk] = requantize(
+                    shift_add_roll(z_prev, chunk), m2_ref[:], o2_ref[:],
+                    relu=True)
+            if a1_next is not None:
+                a1q = requantize(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            z_prev = z
+        h_scr[(n - 1) * chunk :] = requantize(
+            shift_add_roll(z_prev, chunk), m2_ref[:], o2_ref[:], relu=True)
+        h = h_scr[:].reshape(tb, t_len * 128)
+        acc3 = jax.lax.dot_general(
+            h, w3_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        a3 = requantize(acc3, m3_ref[:], o3_ref[:], relu=True)
+        acc4 = jax.lax.dot_general(
+            a3, w4_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(lane < 11, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        idx = jnp.where(logits >= mx, lane, 128)
+        o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+    def f_fused(bb, ch):
+        def f(x):
+            return pl.pallas_call(
+                functools.partial(k_fused, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, t_len), lambda i: (i, 0, 0))]
+                + [_spec(c) for c in fcs],
+                out_specs=pl.BlockSpec((bb, 1), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((bb, t_len, 128), jnp.int8)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(x, *fcs)
+        return f
+
+    for bb, ch in ((64, 16), (128, 16), (256, 16)):
+        try:
+            sec = chain(f"v8b FUSED conv+dense bb={bb} ch={ch}",
+                        f_fused(bb, ch), xw, work=full_work)
+            print(f"   -> FULL-NET rate: {BATCH * 128 / sec / 1e6:.1f} MS/s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"fused bb={bb}: FAILS ({str(e)[:300]})", flush=True)
+
+
+# ---------------------------------------------------------------------- r4c
+def probe_r4c():
+    """v8b tuning: the conv stage is VPU-bound (rq1 ~324us + rolls), so probe
+    scheduling granularity: (bb, chunk) sweep, split-K rq1 interleave (rq the
+    two 256-lane halves of a1 between two K=256 half-dots so VPU work slots
+    between MXU issues), and the rq-free N=256 MXU bound."""
+    t_len = 128
+    inv_sx = np.float32(1.27)
+    w1e = jnp.asarray(rng.integers(-100, 100, (8, 512)).astype(np.int8))
+    w2r = jnp.asarray(rng.integers(-100, 100, (512, 256)).astype(np.int8))
+    m1 = jnp.asarray(rng.random(512).astype(np.float32) * 1e-3)
+    o1 = jnp.asarray(rng.random(512).astype(np.float32))
+    m2 = jnp.asarray(rng.random(128).astype(np.float32) * 1e-3)
+    o2 = jnp.asarray(rng.random(128).astype(np.float32))
+    conv_work = 2 * BATCH * t_len * (8 + 256) * 512
+    consts = [w1e, m1, o1, w2r, m2, o2]
+    xw = jnp.asarray(
+        rng.standard_normal((BATCH, 2, t_len)).astype(np.float32))
+
+    def dot1(x_ref, w1_ref, ci, chunk):
+        m = chunk * t_len
+        xb = x_ref[ci * chunk : (ci + 1) * chunk]
+        xp = jnp.concatenate(
+            [xb, pltpu.roll(xb, t_len - 1, 2), pltpu.roll(xb, t_len - 2, 2),
+             jnp.zeros_like(xb)], axis=1)
+        xq = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0).astype(jnp.int8)
+        xe = jnp.swapaxes(xq, 1, 2).reshape(m, 8)
+        return jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def shift_add_roll(z, chunk):
+        r1 = pltpu.roll(z, 256 - 80, 2)
+        r2 = pltpu.roll(z, 256 - 160, 2)
+        s = (z[:, 0 : t_len - 2, 0:t_len]
+             + r1[:, 1 : t_len - 1, 0:t_len]
+             + r2[:, 2:t_len, 0:t_len])
+        return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+    def k_plain(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+                *, chunk):
+        tb = x_ref.shape[0]
+        for ci in range(tb // chunk):
+            a1q = requantize(dot1(x_ref, w1_ref, ci, chunk),
+                             m1_ref[:], o1_ref[:], relu=True)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 256)
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                shift_add_roll(z, chunk), m2_ref[:], o2_ref[:], relu=True)
+
+    def k_early(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+                *, chunk):
+        tb = x_ref.shape[0]
+        n = tb // chunk
+        a1 = dot1(x_ref, w1_ref, 0, chunk)
+        for ci in range(n):
+            a1_next = dot1(x_ref, w1_ref, ci + 1, chunk) if ci + 1 < n else None
+            a1q = requantize(a1, m1_ref[:], o1_ref[:], relu=True)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 256)
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                shift_add_roll(z, chunk), m2_ref[:], o2_ref[:], relu=True)
+            a1 = a1_next
+
+    def k_split(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+                *, chunk):
+        """rq1 in 256-lane halves interleaved with K=256 half-dots."""
+        tb = x_ref.shape[0]
+        n = tb // chunk
+        for ci in range(n):
+            a1 = dot1(x_ref, w1_ref, ci, chunk)
+            qlo = requantize(a1[:, 0:256], m1_ref[0:256], o1_ref[0:256],
+                             relu=True)
+            zlo = jax.lax.dot_general(
+                qlo, w2_ref[0:256], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            qhi = requantize(a1[:, 256:512], m1_ref[256:512],
+                             o1_ref[256:512], relu=True)
+            zhi = jax.lax.dot_general(
+                qhi, w2_ref[256:512], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            z = (zlo + zhi).reshape(chunk, t_len, 256)
+            o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                shift_add_roll(z, chunk), m2_ref[:], o2_ref[:], relu=True)
+
+    def k_norq(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+               *, chunk):
+        tb = x_ref.shape[0]
+        for ci in range(tb // chunk):
+            a1q = dot1(x_ref, w1_ref, ci, chunk).astype(jnp.int8)  # inexact
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 256)
+            o_ref[ci * chunk : (ci + 1) * chunk] = (
+                shift_add_roll(z, chunk) >> 9).astype(jnp.int8)
+
+    def run(name, kern, bb, ch):
+        def f(x):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, t_len), lambda i: (i, 0, 0))]
+                + [_spec(c) for c in consts],
+                out_specs=pl.BlockSpec((bb, t_len, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, t_len, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(x, *consts)
+        try:
+            sec = chain(name, f, xw, work=conv_work)
+            print(f"   -> {BATCH * 128 / sec / 1e6:.1f} MS/s conv-only",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILS ({str(e)[:200]})", flush=True)
+
+    # Selectable via argv tokens after 'r4c' (each may hang the remote
+    # Mosaic compiler — run variants under separate timeouts).
+    sel = [a for a in sys.argv[2:]] or ["safe"]
+    plans = {
+        "safe": [("early bb=64 ch=16", k_early, 64, 16),
+                 ("splitK bb=64 ch=16", k_split, 64, 16),
+                 ("norq bb=64 ch=16 (MXU bound)", k_norq, 64, 16),
+                 ("plain bb=128 ch=16", k_plain, 128, 16)],
+        "big": [("plain bb=64 ch=32", k_plain, 64, 32),
+                ("plain bb=128 ch=32", k_plain, 128, 32),
+                ("early bb=128 ch=32", k_early, 128, 32)],
+        "huge": [("plain bb=256 ch=32", k_plain, 256, 32),
+                 ("plain bb=128 ch=64", k_plain, 128, 64)],
+    }
+    for key in sel:
+        for name, kern, bb, ch in plans.get(key, []):
+            run(name, kern, bb, ch)
+
+
+# ---------------------------------------------------------------------- r4d
+def probe_r4d():
+    """v9 candidate: conv1 as a bf16 MXU dot with m1 (constrained pow2) and
+    (o1+0.5) (bf16-snapped) FOLDED into the weights/bias-lane — all K-lane
+    terms sit on the 2^e[c] integer grid with partial sums < 2^24, so the
+    f32 MXU accumulation is exact in any order and rq1 collapses from ~6 VPU
+    passes (convert/mul/add/clip2/convert) to clip2+convert. Variants:
+    plain / epi-pipelined; N=384 tap384 conv2 (no rolls) and N=256 (rolls).
+    Numerics proven separately (test suite); this probes SPEED with synthetic
+    weights of the right dtypes."""
+    t_len = 128
+    inv_sx = np.float32(1.27)
+    # bf16 folded conv1 weights: rows (2k+h), row6 = bias, row7 = 0
+    w1b = jnp.asarray(
+        (rng.integers(-100, 100, (8, 512)) * 2.0 ** -10).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w2k = jnp.asarray(rng.integers(-100, 100, (512, 384)).astype(np.int8))
+    w2r = jnp.asarray(rng.integers(-100, 100, (512, 256)).astype(np.int8))
+    m2 = jnp.asarray(rng.random(128).astype(np.float32) * 1e-3)
+    o2 = jnp.asarray(rng.random(128).astype(np.float32))
+    conv_work = 2 * BATCH * t_len * (8 + 384) * 512
+    xw = jnp.asarray(
+        rng.standard_normal((BATCH, 2, t_len)).astype(np.float32))
+
+    def dot1_v9(x_ref, w1_ref, ci, chunk):
+        m = chunk * t_len
+        xb = x_ref[ci * chunk : (ci + 1) * chunk]          # (chunk, 2, T) f32
+        q2 = jnp.clip(jnp.round(xb * inv_sx), -127.0, 127.0)
+        xp = jnp.concatenate(
+            [q2, pltpu.roll(q2, t_len - 1, 2), pltpu.roll(q2, t_len - 2, 2),
+             jnp.ones_like(q2[:, :1]), jnp.zeros_like(q2[:, :1])], axis=1)
+        xe = jnp.swapaxes(xp.astype(jnp.bfloat16), 1, 2).reshape(m, 8)
+        return jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (m, 512) f32
+
+    def rq1_v9(a1f):
+        return jnp.clip(a1f, 0.0, 127.0).astype(jnp.int8)
+
+    def shift_add384(z, chunk):
+        s = (z[:, 0 : t_len - 2, 0:128]
+             + z[:, 1 : t_len - 1, 128:256]
+             + z[:, 2:t_len, 256:384])
+        return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+    def shift_add_roll(z, chunk):
+        r1 = pltpu.roll(z, 256 - 80, 2)
+        r2 = pltpu.roll(z, 256 - 160, 2)
+        s = (z[:, 0 : t_len - 2, 0:t_len]
+             + r1[:, 1 : t_len - 1, 0:t_len]
+             + r2[:, 2:t_len, 0:t_len])
+        return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+    def make_kern(w2, nlanes, sa, pipelined):
+        def k_plain(x_ref, w1_ref, w2_ref, m2_ref, o2_ref, o_ref, *, chunk):
+            tb = x_ref.shape[0]
+            for ci in range(tb // chunk):
+                a1q = rq1_v9(dot1_v9(x_ref, w1_ref, ci, chunk))
+                z = jax.lax.dot_general(
+                    a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).reshape(chunk, t_len, nlanes)
+                o_ref[ci * chunk : (ci + 1) * chunk] = requantize(
+                    sa(z, chunk), m2_ref[:], o2_ref[:], relu=True)
+
+        def k_epi(x_ref, w1_ref, w2_ref, m2_ref, o2_ref, o_ref, *, chunk):
+            tb = x_ref.shape[0]
+            n = tb // chunk
+            a1q = rq1_v9(dot1_v9(x_ref, w1_ref, 0, chunk))
+            z_prev = None
+            for ci in range(n):
+                a1_next = (dot1_v9(x_ref, w1_ref, ci + 1, chunk)
+                           if ci + 1 < n else None)
+                z = jax.lax.dot_general(
+                    a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).reshape(chunk, t_len, nlanes)
+                if z_prev is not None:
+                    o_ref[(ci - 1) * chunk : ci * chunk] = requantize(
+                        sa(z_prev, chunk), m2_ref[:], o2_ref[:], relu=True)
+                if a1_next is not None:
+                    a1q = rq1_v9(a1_next)
+                z_prev = z
+            o_ref[(n - 1) * chunk :] = requantize(
+                sa(z_prev, chunk), m2_ref[:], o2_ref[:], relu=True)
+
+        return k_epi if pipelined else k_plain
+
+    def run(name, w2, nlanes, sa, pipelined, bb=64, ch=16):
+        kern = make_kern(w2, nlanes, sa, pipelined)
+        consts = [w1b, w2, m2, o2]
+
+        def f(x):
+            return pl.pallas_call(
+                functools.partial(kern, chunk=ch),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, t_len), lambda i: (i, 0, 0))]
+                + [_spec(c) for c in consts],
+                out_specs=pl.BlockSpec((bb, t_len, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, t_len, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(x, *consts)
+        try:
+            sec = chain(name, f, xw, work=conv_work)
+            print(f"   -> {BATCH * 128 / sec / 1e6:.1f} MS/s conv-only",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILS ({str(e)[:200]})", flush=True)
+
+    run("v9 N384 plain", w2k, 384, shift_add384, False)
+    run("v9 N384 epi  ", w2k, 384, shift_add384, True)
+    run("v9 N256 plain", w2r, 256, shift_add_roll, False)
+    run("v9 N256 epi  ", w2r, 256, shift_add_roll, True)
+
+
+# ---------------------------------------------------------------------- r4e
+def probe_r4e():
+    """Fused v9 conv+dense in ONE kernel with a fori_loop chunk loop (small
+    compiled program -> bigger bb may compile), dense at block granularity
+    M=bb. Saves the 67MBx2 HBM round-trip + dense dispatch + glue. Also a
+    fori_loop conv-only variant (does Mosaic self-pipeline?)."""
+    t_len = 128
+    inv_sx = np.float32(1.27)
+    w1b = jnp.asarray(
+        (rng.integers(-100, 100, (8, 512)) * 2.0 ** -10).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w2r = jnp.asarray(rng.integers(-100, 100, (512, 256)).astype(np.int8))
+    m2 = jnp.asarray(rng.random(128).astype(np.float32) * 1e-3)
+    o2 = jnp.asarray(rng.random(128).astype(np.float32))
+    w3a = jnp.asarray(rng.integers(-100, 100, (t_len * 128, 256)
+                                   ).astype(np.int8))
+    m3 = jnp.asarray(rng.random(256).astype(np.float32) * 1e-3)
+    o3 = jnp.asarray(rng.random(256).astype(np.float32))
+    w4 = jnp.asarray(rng.integers(-100, 100, (256, 128)).astype(np.int8))
+    s4 = jnp.asarray(rng.random(128).astype(np.float32) * 1e-3)
+    b4 = jnp.asarray(rng.random(128).astype(np.float32))
+    conv_work = 2 * BATCH * t_len * (8 + 256) * 512
+    full_work = conv_work + 2 * BATCH * (t_len * 128 * 256 + 256 * 128)
+    xw = jnp.asarray(
+        rng.standard_normal((BATCH, 2, t_len)).astype(np.float32))
+
+    def conv_chunk(x_ref, w1_ref, w2_ref, m2_ref, o2_ref, ci, chunk):
+        m = chunk * t_len
+        xb = x_ref[pl.ds(ci * chunk, chunk)]
+        q2 = jnp.clip(jnp.round(xb * inv_sx), -127.0, 127.0)
+        xp = jnp.concatenate(
+            [q2, pltpu.roll(q2, t_len - 1, 2), pltpu.roll(q2, t_len - 2, 2),
+             jnp.ones_like(q2[:, :1]), jnp.zeros_like(q2[:, :1])], axis=1)
+        xe = jnp.swapaxes(xp.astype(jnp.bfloat16), 1, 2).reshape(m, 8)
+        a1f = jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a1q = jnp.clip(a1f, 0.0, 127.0).astype(jnp.int8)
+        z = jax.lax.dot_general(
+            a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).reshape(chunk, t_len, 256)
+        r1 = pltpu.roll(z, 256 - 80, 2)
+        r2 = pltpu.roll(z, 256 - 160, 2)
+        s = (z[:, 0 : t_len - 2, 0:t_len]
+             + r1[:, 1 : t_len - 1, 0:t_len]
+             + r2[:, 2:t_len, 0:t_len])
+        s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+        return requantize(s, m2_ref[:], o2_ref[:], relu=True)
+
+    def k_conv_fori(x_ref, w1_ref, w2_ref, m2_ref, o2_ref, o_ref, *, chunk):
+        n = x_ref.shape[0] // chunk
+
+        def body(ci, _):
+            o_ref[pl.ds(ci * chunk, chunk)] = conv_chunk(
+                x_ref, w1_ref, w2_ref, m2_ref, o2_ref, ci, chunk)
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+
+    def k_fused(x_ref, w1_ref, w2_ref, m2_ref, o2_ref,
+                w3_ref, m3_ref, o3_ref, w4_ref, s4_ref, b4_ref, o_ref,
+                h_scr, *, chunk):
+        n = x_ref.shape[0] // chunk
+
+        def body(ci, _):
+            h_scr[pl.ds(ci * chunk, chunk)] = conv_chunk(
+                x_ref, w1_ref, w2_ref, m2_ref, o2_ref, ci, chunk)
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+        h = h_scr[:].reshape(x_ref.shape[0], t_len * 128)
+        acc3 = jax.lax.dot_general(
+            h, w3_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        a3 = requantize(acc3, m3_ref[:], o3_ref[:], relu=True)
+        acc4 = jax.lax.dot_general(
+            a3, w4_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        logits = acc4.astype(jnp.float32) * s4_ref[:] + b4_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+        logits = jnp.where(lane < 11, logits, -jnp.inf)
+        mx = jnp.max(logits, axis=-1, keepdims=True)
+        idx = jnp.where(logits >= mx, lane, 128)
+        o_ref[:] = jnp.min(idx, axis=-1, keepdims=True)
+
+    ccs = [w1b, w2r, m2, o2]
+    fcs = ccs + [w3a, m3, o3, w4, s4, b4]
+
+    for bb in (64, 128):
+        def f_conv(x, bb=bb):
+            return pl.pallas_call(
+                functools.partial(k_conv_fori, chunk=CH),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, t_len), lambda i: (i, 0, 0))]
+                + [_spec(c) for c in ccs],
+                out_specs=pl.BlockSpec((bb, t_len, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, t_len, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(x, *ccs)
+        try:
+            sec = chain(f"conv fori bb={bb}", f_conv, xw, work=conv_work)
+            print(f"   -> {BATCH * 128 / sec / 1e6:.1f} MS/s conv-only",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"conv fori bb={bb}: FAILS ({str(e)[:160]})", flush=True)
+
+    for bb in (128, 256, 512):
+        def f_fused(x, bb=bb):
+            return pl.pallas_call(
+                functools.partial(k_fused, chunk=CH),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, t_len), lambda i: (i, 0, 0))]
+                + [_spec(c) for c in fcs],
+                out_specs=pl.BlockSpec((bb, 1), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((bb, t_len, 128), jnp.int8)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",)),
+            )(x, *fcs)
+        try:
+            sec = chain(f"FUSED fori bb={bb}", f_fused, xw, work=full_work)
+            print(f"   -> FULL-NET: {BATCH * 128 / sec / 1e6:.1f} MS/s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"FUSED fori bb={bb}: FAILS ({str(e)[:160]})", flush=True)
+
+
 PROBES = {
+    "r4": probe_r4,
+    "r4b": probe_r4b,
+    "r4c": probe_r4c,
+    "r4d": probe_r4d,
+    "r4e": probe_r4e,
     "r3k": probe_r3k,
     "r3i": probe_r3i,
     "r3h": probe_r3h,

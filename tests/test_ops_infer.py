@@ -57,19 +57,6 @@ def test_fused_int8_matches_golden_exactly(setup):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
-def test_fused_int8_v2_matches_golden_exactly(setup):
-    """v2 (conv1 on the MXU via tap-stacked input) is the same integer chain."""
-    model, params, x = setup
-    from modulationdetectioncnn_tpu.train.quant import quantize
-
-    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(np.float32)
-    qm = quantize(model, params, calib)
-    fwd = infer.make_int8_forward_v2(qm, block_b=8, chunk=4, interpret=True)
-    got = np.asarray(fwd(jnp.asarray(x)))
-    want = gq.int8_forward(qm, x)
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
-
-
 def test_expand_taps_layout():
     """X6[b, t, h*3+k] == x[b, h, t+k]; lanes 6,7 zero."""
     r = np.random.default_rng(3)
@@ -92,26 +79,6 @@ def test_expand_conv1_weights_blockdiag():
     assert we.sum() == 2 * w.sum()
 
 
-def test_fused_int8_v3_classifier_matches_golden_exactly(setup):
-    """v3 (taps-on-K conv2, lane-aligned, fused dense+argmax): labels must
-    equal the golden int8 chain's argmax exactly."""
-    model, params, x = setup
-    from modulationdetectioncnn_tpu.golden import quant as gq
-    from modulationdetectioncnn_tpu.train.quant import quantize
-
-    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
-        np.float32
-    )
-    qm = quantize(model, params, calib)
-    classify = infer.make_int8_classifier_v3(
-        qm, block_b=8, chunk=4, dense_block_b=16, interpret=True
-    )
-    got = np.asarray(classify(jnp.asarray(x)))
-    want = gq.int8_forward(qm, x).argmax(-1)
-    assert got.shape == (16,)
-    np.testing.assert_array_equal(got, want)
-
-
 def test_int8_v3_ragged_batch(setup):
     """v3 pads ragged batches internally and returns exactly B labels."""
     model, params, x = setup
@@ -130,25 +97,6 @@ def test_int8_v3_ragged_batch(setup):
     np.testing.assert_array_equal(got, full[:5])
 
 
-def test_fused_int8_v4_classifier_matches_golden_exactly(setup):
-    """v4 (dense tap-planes, in-kernel transpose, tile-aligned tap-384
-    conv2): labels equal the golden int8 chain's argmax exactly."""
-    model, params, x = setup
-    from modulationdetectioncnn_tpu.golden import quant as gq
-    from modulationdetectioncnn_tpu.train.quant import quantize
-
-    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
-        np.float32
-    )
-    qm = quantize(model, params, calib)
-    classify = infer.make_int8_classifier_v4(
-        qm, block_b=8, chunk=4, dense_block_b=16, interpret=True
-    )
-    got = np.asarray(classify(jnp.asarray(x)))
-    want = gq.int8_forward(qm, x).argmax(-1)
-    np.testing.assert_array_equal(got, want)
-
-
 def test_fused_bf16_v4_classifier_agrees_with_golden(setup):
     """bf16 v4 classifier labels agree with the float golden argmax
     (bf16 rounding may flip genuine near-ties, hence >=, not ==)."""
@@ -160,24 +108,6 @@ def test_fused_bf16_v4_classifier_agrees_with_golden(setup):
     want = gcnn.vtcnn2_forward(params, x).argmax(-1)
     assert got.shape == (16,)
     assert (got == want).mean() >= 0.85
-
-
-def test_fused_int8_v5_classifier_matches_golden_exactly(setup):
-    """v5 (fused f32 prologue: in-kernel quantize + conv1 taps-on-K):
-    labels equal the golden int8 chain's argmax exactly."""
-    model, params, x = setup
-    from modulationdetectioncnn_tpu.train.quant import quantize
-
-    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
-        np.float32
-    )
-    qm = quantize(model, params, calib)
-    classify = infer.make_int8_classifier_v5(
-        qm, block_b=8, chunk=4, dense_block_b=16, interpret=True
-    )
-    got = np.asarray(classify(jnp.asarray(x)))
-    want = gq.int8_forward(qm, x).argmax(-1)
-    np.testing.assert_array_equal(got, want)
 
 
 def test_expand_conv1_weights_tapk_layout():
@@ -193,7 +123,7 @@ def test_expand_conv1_weights_tapk_layout():
 
 
 @pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5", "v6",
-                                     "v7"])
+                                     "v7", "v9"])
 def test_make_int8_predict_all_versions_agree(setup, version):
     """Every selectable eval kernel version produces golden labels
     (interpret mode; on-chip parity is proven by scripts/train_eval_full)."""
