@@ -22,8 +22,12 @@ MODULATIONS = RML_CLASSES
 # Bump when generated statistics change (invalidates dataset caches keyed on
 # it, e.g. scripts/train_eval_full.py). v2: speech pauses + syllabic bursts
 # in the analog source, multipath default ON, dataset-width CFO/SRO with
-# oscillator drift (VERDICT r2 next #2).
-GENERATOR_VERSION = 2
+# oscillator drift (VERDICT r2 next #2). v3: CFO/SRO drawn from the bounded
+# random walk's few-Hz equilibrium (N(0, sigma) clipped) instead of uniform
+# over the +/-500 Hz BOUND — v2's uniform draw twisted constellations up to
+# 115 degrees within a frame, collapsing QPSK->8PSK (VERDICT r3 weak #4) —
+# and Rician K=4 multipath instead of full Rayleigh (config.ChannelConfig).
+GENERATOR_VERSION = 3
 
 # Constellations for the linear digital modulations (unit average power).
 def _psk(m: int, rot: float = 0.0) -> np.ndarray:
@@ -192,7 +196,10 @@ def _apply_channel(
 
     # Sample-rate offset: resample by (1+eps) with linear interpolation.
     if ch.max_sro > 0:
-        eps = rng.uniform(-ch.max_sro, ch.max_sro, size=(n_frames, 1))
+        eps = np.clip(
+            rng.normal(0.0, ch.sro_sigma, size=(n_frames, 1)),
+            -ch.max_sro, ch.max_sro,
+        )
         t = np.arange(n)[None, :] * (1.0 + eps)
         t = np.clip(t, 0, n - 1 - 1e-9)
         i0 = t.astype(np.int64)
@@ -200,22 +207,27 @@ def _apply_channel(
         rows = np.arange(n_frames)[:, None]
         x = x[rows, i0] * (1 - frac) + x[rows, np.minimum(i0 + 1, n - 1)] * frac
 
-    # Multipath: per-frame random complex FIR.
+    # Multipath: per-frame Rician FIR — a unit LOS tap carrying K/(K+1) of
+    # the power plus complex-Gaussian scattered taps with exponential decay
+    # (the dataset's dynamic_channel_model: LOS_model=True, K=4).
     if ch.multipath and ch.multipath_taps > 1:
         k = ch.multipath_taps
         decay = np.exp(-np.arange(k) / max(ch.multipath_delay_spread * k, 1e-6))
-        taps = (
+        scat = (
             rng.standard_normal((n_frames, k)) + 1j * rng.standard_normal((n_frames, k))
-        ) * decay[None, :]
-        taps[:, 0] = 1.0
-        taps /= np.sqrt((np.abs(taps) ** 2).sum(axis=-1, keepdims=True))
+        ) * decay[None, :] / np.sqrt(2.0)
+        scat /= np.sqrt((np.abs(scat) ** 2).sum(axis=-1, keepdims=True))
+        kf = max(ch.rician_k, 0.0)
+        taps = np.sqrt(1.0 / (kf + 1.0)) * scat
+        taps[:, 0] += np.sqrt(kf / (kf + 1.0))
         x = sp_signal.fftconvolve(x, taps, mode="full", axes=-1)[:, :n]
 
     # Carrier frequency + phase offset; the oscillator drifts within the
     # frame as a random walk on the instantaneous frequency (the dataset's
     # dynamic channel model, ChannelConfig docstring).
     f = (
-        rng.uniform(-ch.max_cfo, ch.max_cfo, size=(n_frames, 1))
+        np.clip(rng.normal(0.0, ch.cfo_sigma, size=(n_frames, 1)),
+                -ch.max_cfo, ch.max_cfo)
         if ch.max_cfo > 0
         else np.zeros((n_frames, 1))
     )

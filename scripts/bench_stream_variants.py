@@ -4,7 +4,7 @@ Measures the config-4 streamed samples/s on the real chip for:
   1. the default chain (channelize + power/CFO normalize + frame + classify),
   2. + timing normalization ON (measures its cost -> default-on decision),
   3. + rational 2/3 resampling in front (exercises the whole front-end),
-and writes artifacts/bench_r3_stream.json with each variant's rate and its
+and writes artifacts/bench_r4_stream.json with each variant's rate and its
 ratio to the same-run CNN-only rate (the honest overhead figure).
 
 Usage: python scripts/bench_stream_variants.py [backend]
@@ -59,7 +59,7 @@ def main(backend: str | None = None) -> None:
             out["variants"][name] = {"error": repr(e)[:200]}
         print(name, json.dumps(out["variants"][name]), flush=True)
 
-    path = "/root/repo/artifacts/bench_r3_stream.json"
+    path = "/root/repo/artifacts/bench_r4_stream.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path, flush=True)
