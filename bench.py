@@ -266,20 +266,31 @@ if __name__ == "__main__":
     try:
         run(cfg)
     except Exception as e:  # noqa: BLE001
-        # The requested backend failed. Never substitute silently: report
-        # the error, then measure the XLA bf16 path with fallback stamped.
         import traceback
 
         traceback.print_exc()
-        if cfg.bench.backend != "xla_bf16":
-            print(
-                json.dumps({"fallback_error": repr(e),
-                            "failed_backend": cfg.bench.backend}),
-                file=sys.stderr,
-            )
-            run(cfg, backend="xla_bf16", fallback_from=cfg.bench.backend)
-        else:
-            raise
+        # The tunneled remote Mosaic compiler occasionally drops a request
+        # ("response body closed before all bytes were read" — observed
+        # 2026-08-21 on a kernel that compiles fine on retry). One transient
+        # failure must not turn the headline into the bf16 fallback: retry
+        # the REQUESTED backend once before falling back.
+        try:
+            print(json.dumps({"transient_retry_after": repr(e)[:200]}),
+                  file=sys.stderr)
+            run(cfg)
+        except Exception as e2:  # noqa: BLE001
+            traceback.print_exc()
+            # Never substitute silently: report the error, then measure the
+            # XLA bf16 path with fallback stamped.
+            if cfg.bench.backend != "xla_bf16":
+                print(
+                    json.dumps({"fallback_error": repr(e2),
+                                "failed_backend": cfg.bench.backend}),
+                    file=sys.stderr,
+                )
+                run(cfg, backend="xla_bf16", fallback_from=cfg.bench.backend)
+            else:
+                raise
     # The judged metric is "IQ samples/s classified" and the product is the
     # streaming chain, so every recorded bench also carries the config-4
     # stream number (stderr; the contract stdout line stays cnn-mode).

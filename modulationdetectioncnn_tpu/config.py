@@ -165,7 +165,7 @@ class EvalConfig:
     backend: str = "flax"
     results_path: str = "results.json"
     int8_artifact: str | None = None  # dir of a saved QuantizedModel tree
-    # Which fused Pallas kernel the int8 backend runs (v1..v8). Default =
+    # Which fused Pallas kernel the int8 backend runs (v1..v9). Default =
     # the bench headline kernel, so the accuracy artifact proves the SAME
     # code path the throughput number measures (VERDICT r2 next #3).
     int8_kernel: str = "v9"
@@ -179,7 +179,7 @@ class BenchConfig:
     timed_iters: int = 20
     # Measured code path (bench.py BACKENDS). The default MUST be the
     # fastest verified backend — the driver-recorded headline number.
-    backend: str = "pallas_int8_v7"
+    backend: str = "pallas_int8_v9"
     # 'cnn' = classifier only (frames in HBM); 'stream' = full DSP chain
     # (channelize + normalize + frame + classify) on continuous wideband IQ.
     mode: str = "cnn"

@@ -1,7 +1,7 @@
 """Per-stage bench breakdown artifact (VERDICT r2 next #1c).
 
 Measures, on the real chip with chained timing, every stage of the headline
-int8 path and writes artifacts/bench_r3.json with each stage's share and
+int8 path and writes artifacts/bench_r4.json with each stage's share and
 %-of-measured-ceiling so the verdict can see where the remaining time goes.
 The ceiling is the MEASURED int8 dot rate from artifacts/bench_r2.json
 (460.6 TOPS at 2048^3 on this chip), not the nominal spec
@@ -30,11 +30,14 @@ MEASURED_INT8_TOPS = 460.6e12   # artifacts/bench_r2.json kernel_ceilings
 BATCH = 4096
 T_IN = 128
 
-# Padded MACs/frame of the v4/v6 layout (conv1 K=8 dot + conv2 tap-384 +
-# dense1 16384x256 + dense2 256x128); useful MACs/frame of the true model.
-CONV_MACS = T_IN * (8 + 3 * 128) * 512
+# Padded MACs/frame of the v9 layout (conv1 K=8 bf16 dot + conv2 N=256
+# lane-offset packing + dense1 16384x256 + dense2 256x128); useful MACs of
+# the true model. v9 cuts conv2's padded lanes 384 -> 256 (VERDICT r3 next
+# #1: padded_macs_per_frame <= 22.5M — now 21.5M).
+CONV_MACS = T_IN * (8 + 2 * 128) * 512
 DENSE_MACS = T_IN * 128 * 256 + 256 * 128
 PADDED_MACS = CONV_MACS + DENSE_MACS
+CONV_MACS_V7 = T_IN * (8 + 3 * 128) * 512
 USEFUL_MACS = 126 * 6 * 256 + 124 * 1536 * 80 + 9920 * 256 + 256 * 11
 
 
@@ -55,7 +58,7 @@ def _chain(fn, x0, honest_sum: bool = False):
     return measure_per_iter_chained(body, x0, n1=8, n2=8 + delta)
 
 
-def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
+def main(out_path: str = "/root/repo/artifacts/bench_r4.json") -> None:
     from modulationdetectioncnn_tpu.config import AmcConfig
     from modulationdetectioncnn_tpu.models import VTCNN2
     from modulationdetectioncnn_tpu.ops import infer
@@ -88,15 +91,15 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
         print(name, json.dumps(entry), flush=True)
         return sec
 
-    # ---- headline kernel (v7: fused f32 prologue + epilogue-pipelined
-    # conv, r3h/r3i probes) per stage
-    classify7 = infer.make_int8_classifier_v7(qm)
-    sec_full = record("v7_full_headline", _chain(classify7, x0), PADDED_MACS)
+    # ---- headline kernel (v9: bf16-folded conv1 requantize + N=256
+    # conv2, r4/r4d probes) per stage
+    classify9 = infer.make_int8_classifier_v9(qm)
+    sec_full = record("v9_full_headline", _chain(classify9, x0), PADDED_MACS)
 
     c2 = qm.m2.shape[0]
     cin = qm.w2p.shape[0] // 2
     w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
-    w2k = infer.pack_conv2_weights_tap384(w2)
+    w2r = infer.pack_conv2_weights_lane256(w2)
     m2p = infer._pad_cols(qm.m2)
     o2p = infer._pad_cols(qm.o2)
     inv_sx = float(1.0 / qm.s_x)
@@ -106,26 +109,27 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
         return pl.BlockSpec(
             s, (lambda i: (0,)) if len(s) == 1 else (lambda i: (0, 0)))
 
-    w1v9 = infer.expand_conv1_weights_v9(qm.w1p)
-    conv7_consts = [jnp.asarray(a) for a in
-                    (w1v9, qm.m1, qm.o1, w2k, m2p, o2p)]
+    w1f = infer.expand_conv1_weights_v9f(qm)
+    conv9_consts = [jnp.asarray(w1f).astype(jnp.bfloat16),
+                    jnp.asarray(w2r), jnp.asarray(m2p), jnp.asarray(o2p)]
 
-    def conv7(x):
+    def conv9(x):
         return pl.pallas_call(
-            functools.partial(infer._conv_stage_int8_v7_kernel, chunk=16,
-                              inv_sx=inv_sx),
+            functools.partial(infer._conv_stage_int8_v9_kernel, chunk=16,
+                              co=c2, inv_sx=inv_sx),
             grid=(BATCH // 64,),
             in_specs=[pl.BlockSpec((64, 2, T_IN), lambda i: (i, 0, 0))]
-            + [_spec(a) for a in conv7_consts],
+            + [_spec(a) for a in conv9_consts],
             out_specs=pl.BlockSpec((64, T_IN, 128), lambda i: (i, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)),
-        )(x, *conv7_consts)
+                dimension_semantics=("arbitrary",)),
+        )(x, *conv9_consts)
 
     sec_conv = record(
-        "conv_stage_v7", _chain(conv7, x0), CONV_MACS,
-        note="fused f32 prologue + epilogue-pipelined conv1+conv2")
+        "conv_stage_v9", _chain(conv9, x0), CONV_MACS,
+        note="in-kernel quantize + bf16-folded conv1 rq + N=256 conv2 "
+             "with lane-roll shift-add")
 
     w3p = infer.pack_dense1_weights_v3(qm.w3, T_IN - 4, c2, T_IN)
     w4 = infer._pad_cols(qm.w4)
@@ -152,12 +156,13 @@ def main(out_path: str = "/root/repo/artifacts/bench_r3.json") -> None:
     glue = sec_full - sec_conv - sec_dense
     record("reshape_glue_residual", max(glue, 0.0),
            note="(B,128,128)->(B,16384) reshape + inter-kernel HBM + "
-                "dispatch glue (v7 has NO separate prologue: quantize + "
+                "dispatch glue (v9 has NO separate prologue: quantize + "
                 "tap build live in the conv kernel)")
 
-    # v6 (prior headline: XLA prologue + rq-before-dot order) for comparison
-    classify6 = infer.make_int8_classifier_v6(qm)
-    record("v6_full_reference", _chain(classify6, x0), PADDED_MACS)
+    # v7 (prior headline) for comparison at ITS padded-MAC accounting
+    classify7 = infer.make_int8_classifier_v7(qm)
+    record("v7_full_reference", _chain(classify7, x0),
+           CONV_MACS_V7 + DENSE_MACS)
 
     out = {
         "date": "2026-08-21",

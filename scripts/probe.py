@@ -3497,12 +3497,124 @@ def probe_r4e():
             print(f"FUSED fori bb={bb}: FAILS ({str(e)[:160]})", flush=True)
 
 
+# ---------------------------------------------------------------------- r4f
+def probe_r4f():
+    """Post-v9 micro-levers on the PRODUCTION kernel: batch sweep (amortize
+    per-iter fixed costs), dense block size, and an rq2 variant where m2 is
+    pow2 so the epilogue runs as integer add+shift+clip (no f32 converts)."""
+    from modulationdetectioncnn_tpu.ops import infer
+
+    qm = _qm()
+    # v9 full classifier batch sweep
+    for b in (2048, 4096, 8192, 16384):
+        x0 = jnp.asarray(
+            rng.standard_normal((b, 2, 128)).astype(np.float32))
+        try:
+            c9 = infer.make_int8_classifier_v9(qm)
+            sec = chain(f"v9 full B={b}", c9, x0, batch=b)
+            print(f"   -> {b * 128 / sec / 1e6:.1f} MS/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"v9 B={b}: FAILS ({str(e)[:140]})", flush=True)
+
+    # dense block-size sweep at K=16384
+    for dbb in (128, 256, 512, 1024):
+        try:
+            c9 = infer.make_int8_classifier_v9(qm, dense_block_b=dbb)
+            x0 = jnp.asarray(
+                rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+            sec = chain(f"v9 full dbb={dbb}", c9, x0)
+            print(f"   -> {BATCH * 128 / sec / 1e6:.1f} MS/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"v9 dbb={dbb}: FAILS ({str(e)[:140]})", flush=True)
+
+    # rq2-as-integer variant (speed only; synthetic pow2 m2): epilogue
+    # (z + o2i) >> k, clip, int8 convert — no f32 converts on the
+    # (chunk,128,128) i32 conv2 output.
+    t_len = 128
+    inv_sx = np.float32(1.27)
+    w1b = jnp.asarray(
+        (rng.integers(-100, 100, (8, 512)) * 2.0 ** -10).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    w2r = jnp.asarray(rng.integers(-100, 100, (512, 256)).astype(np.int8))
+    o2i = jnp.asarray(rng.integers(0, 1 << 12, (1, 128)).astype(np.int32))
+    k2 = jnp.asarray(np.full((1, 128), 9, np.int32))
+    consts = [w1b, w2r, o2i, k2]
+    xw = jnp.asarray(
+        rng.standard_normal((BATCH, 2, t_len)).astype(np.float32))
+    conv_work = 2 * BATCH * t_len * (8 + 256) * 512
+
+    def k_rq2int(x_ref, w1_ref, w2_ref, o2_ref, k2_ref, o_ref, *, chunk):
+        tb = x_ref.shape[0]
+        m = chunk * t_len
+        for ci in range(tb // chunk):
+            xb = x_ref[ci * chunk : (ci + 1) * chunk]
+            q2 = jnp.clip(jnp.round(xb * inv_sx), -127.0, 127.0)
+            xp = jnp.concatenate(
+                [q2, pltpu.roll(q2, t_len - 1, 2), pltpu.roll(q2, t_len - 2, 2),
+                 jnp.ones_like(q2[:, :1]), jnp.zeros_like(q2[:, :1])], axis=1)
+            xe = jnp.swapaxes(xp.astype(jnp.bfloat16), 1, 2).reshape(m, 8)
+            a1f = jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a1q = jnp.clip(a1f, 0.0, 127.0).astype(jnp.int8)
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 256)
+            r1 = pltpu.roll(z, 256 - 80, 2)
+            r2 = pltpu.roll(z, 256 - 160, 2)
+            s = (z[:, 0 : t_len - 2, 0:t_len]
+                 + r1[:, 1 : t_len - 1, 0:t_len]
+                 + r2[:, 2:t_len, 0:t_len])
+            s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            v = jax.lax.shift_right_arithmetic(
+                s + o2_ref[:][None], jnp.broadcast_to(k2_ref[:][None], s.shape))
+            o_ref[ci * chunk : (ci + 1) * chunk] = jnp.clip(
+                v, 0, 127).astype(jnp.int8)
+
+    def f_rq2int(x):
+        return pl.pallas_call(
+            functools.partial(k_rq2int, chunk=CH),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((BB, 2, t_len), lambda i: (i, 0, 0))]
+            + [_spec(c) for c in consts],
+            out_specs=pl.BlockSpec((BB, t_len, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, t_len, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(x, *consts)
+
+    try:
+        sec = chain("v9 conv rq2-integer (pow2 m2)", f_rq2int, xw,
+                    work=conv_work)
+        print(f"   -> {BATCH * 128 / sec / 1e6:.1f} MS/s conv-only",
+              flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"rq2int: FAILS ({str(e)[:240]})", flush=True)
+
+    # timing-correction kernel standalone (the r4 normalize.py rewrite)
+    from modulationdetectioncnn_tpu.dsp import normalize
+    xfr = jnp.asarray(
+        rng.standard_normal((BATCH, 2, 128)).astype(np.float32))
+
+    def f_timing(x):
+        tau = normalize.estimate_timing(x, 8)
+        return normalize.correct_timing(x, tau, 8, 32)
+
+    try:
+        sec = chain("timing est+correct (pallas) B=4096", f_timing, xfr)
+        print(f"   -> {sec*1e6:.0f} us/iter", flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(f"timing: FAILS ({str(e)[:240]})", flush=True)
+
+
 PROBES = {
     "r4": probe_r4,
     "r4b": probe_r4b,
     "r4c": probe_r4c,
     "r4d": probe_r4d,
     "r4e": probe_r4e,
+    "r4f": probe_r4f,
     "r3k": probe_r3k,
     "r3i": probe_r3i,
     "r3h": probe_r3h,
