@@ -11,14 +11,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def _requant(acc_i32: np.ndarray, mult: np.ndarray, offset: np.ndarray, relu=True):
-    """relu=True spec is round-half-up via floor(x+0.5) == truncating int8
-    convert of clip(x+0.5, 0, 127) — matches ops/cnn_kernels.py::requantize
-    (which drops the explicit round() VPU pass). Keep in lockstep."""
+def _requant(acc_i32: np.ndarray, shift: np.ndarray, offset: np.ndarray, relu=True):
+    """relu=True spec is classic fixed-point round-half-up:
+    clip((acc + offset) >> shift, 0, 127) with int32 per-channel shift and
+    an int32 offset that folds bias AND the +0.5 rounding term (see
+    train/quant.py). Pure integer arithmetic — exact and order-free.
+    Matches ops/cnn_kernels.py::requantize; keep in lockstep."""
     if relu:
-        v = acc_i32.astype(np.float32) * mult + (offset + np.float32(0.5))
-        return np.clip(v, 0.0, 127.0).astype(np.int8)
-    v = np.round(acc_i32.astype(np.float32) * mult + offset)
+        v = (acc_i32 + offset.astype(np.int32)) >> shift.astype(np.int32)
+        return np.clip(v, 0, 127).astype(np.int8)
+    v = np.round(acc_i32.astype(np.float32) * shift + offset)
     return np.clip(v, -127.0, 127.0).astype(np.int8)
 
 

@@ -178,22 +178,30 @@ def conv2_stacked(
 # ---------------------------------------------------------------- int8 requant
 
 
-def requantize(acc, mult, offset, *, relu: bool = True):
-    """Per-channel fp32 affine int32 -> int8.
+def requantize(acc, shift, offset, *, relu: bool = True):
+    """Per-channel fixed-point int32 -> int8 (the requantize SPEC).
 
-    relu=True (the whole hot chain): spec is ROUND-HALF-UP via
-    clip(acc*mult + offset + 0.5, 0, 127) then a truncating convert —
-    trunc == floor on [0, 128), and floor(x+0.5) == round-half-up. This
-    saves one full VPU pass over the layer activation vs an explicit
-    round() (the requant of conv1's (B,126,512) output is the single
-    largest VPU cost in the fused kernel). ReLU folds into the 0 clip.
-    relu=False: classic round-half-even + symmetric clip (off the hot path).
+    relu=True (the whole hot chain): classic fixed-point round-half-up —
+        clip((acc + offset) >> shift, 0, 127)
+    with per-channel int32 ``shift`` (the quantizer constrains every
+    requantize scale to 2^-shift) and int32 ``offset`` that already folds
+    the bias AND the +0.5 rounding term: offset = round((bias/s_out + 0.5)
+    * 2^shift). ReLU folds into the 0 clip; arithmetic shift floors
+    negatives, which the clip sends to 0 exactly like the ReLU would.
+
+    Measured rationale (scripts/probe.py r4f, 2026-08-21): the previous
+    f32 affine (convert/mul/add/clip/convert) on conv2's int32 output cost
+    ~450us/iter at B=4096 — the pure-integer path runs the same conv stage
+    at 577us vs 1026us. It is also EXACT integer arithmetic (the f32 form
+    rounded accumulators above 2^24), so golden parity is strengthened.
+    relu=False: legacy f32 round-half-even + symmetric clip (off the hot
+    path, float mult/offset).
     Golden twin: golden/quant.py::_requant — keep in lockstep.
     """
     if relu:
-        v = acc.astype(jnp.float32) * mult + (offset + 0.5)
-        return jnp.clip(v, 0.0, 127.0).astype(jnp.int8)
-    v = jnp.round(acc.astype(jnp.float32) * mult + offset)
+        v = jnp.right_shift(acc + offset, shift)
+        return jnp.clip(v, 0, 127).astype(jnp.int8)
+    v = jnp.round(acc.astype(jnp.float32) * shift + offset)
     return jnp.clip(v, -127.0, 127.0).astype(jnp.int8)
 
 

@@ -30,14 +30,14 @@ class QuantizedModel:
 
     s_x: np.ndarray          # () input scale
     w1p: np.ndarray          # (3, C1) int8
-    m1: np.ndarray           # (2*C1,) f32 requant mult (stacked layout)
-    o1: np.ndarray           # (2*C1,) f32 requant offset
+    m1: np.ndarray           # (2*C1,) int32 requant SHIFT (scale = 2^-m1)
+    o1: np.ndarray           # (2*C1,) int32 offset incl. the +0.5 round term
     w2p: np.ndarray          # (2*C1, 3*C2) int8 tap-packed
-    m2: np.ndarray           # (C2,) f32
-    o2: np.ndarray           # (C2,) f32
+    m2: np.ndarray           # (C2,) int32 shift
+    o2: np.ndarray           # (C2,) int32 offset
     w3: np.ndarray           # (T2*C2, D) int8
-    m3: np.ndarray           # (D,) f32
-    o3: np.ndarray           # (D,) f32
+    m3: np.ndarray           # (D,) int32 shift
+    o3: np.ndarray           # (D,) int32 offset
     w4: np.ndarray           # (D, n_classes) int8
     s4: np.ndarray           # (n_classes,) f32 dequant scale (s_a3 * s_w4)
     b4: np.ndarray           # (n_classes,) f32
@@ -97,34 +97,49 @@ def quantize(model, params, calib_x: np.ndarray, percentile: float = 99.99) -> Q
         scales["s_x"], scales["a1"], scales["a2"], scales["a3"],
     )
 
-    # conv1: kernel (1,3,1,C1); per-out-channel scale — CONSTRAINED so the
-    # v9 kernel can fold the requantize into bf16 MXU weights exactly
-    # (ops/infer.py make_int8_classifier_v9):
-    #   - m1 snapped UP to a power of two (so w1_i8*m1 is bf16-exact and
-    #     every MXU product/partial-sum lies on the 2^e integer grid);
-    #   - (o1 + 0.5) snapped to an 8-bit-significand multiple of m1 (so the
-    #     bias K-lane term is bf16-exact AND on the same grid — the f32 MXU
-    #     accumulation is then exact in ANY order, < 2^24 on the grid).
-    # The requantize FORMULA (golden/quant.py) is unchanged; only the
-    # calibration constants move: weight scale by <=2x (snap-up never clips
-    # the int weights), offset by <= 1/256 relative — measured accuracy
-    # impact within the int8-vs-float 0.5% budget (artifacts eval).
+    # Every hot-chain requantize scale is CONSTRAINED to a power of two
+    # (s_in*s_w[c]/s_out = 2^-shift[c], snapped UP so the re-quantized int
+    # weights never clip; worst case the channel uses 1/sqrt(2)... 1/2 of
+    # the int8 range) and the offset folds bias + the 0.5 rounding term as
+    # an int32 on the same grid. Two measured/exactness reasons:
+    #   1. requantize becomes pure integer add+shift+clip — the f32 affine
+    #      on conv2's int32 output alone cost ~450us/iter at B=4096
+    #      (scripts/probe.py r4f), and integer math is exact where the f32
+    #      path rounded accumulators above 2^24;
+    #   2. conv1's requantize folds into bf16 MXU weights exactly
+    #      (ops/infer.py make_int8_classifier_v9): with w1_i8 * 2^e bf16-
+    #      exact and the bias on the same 2^e grid (8-bit significand),
+    #      every product/partial sum is an integer multiple of 2^e below
+    #      2^24, so the f32 MXU accumulation is exact in ANY order.
+    # This is also the reference archetype's own arithmetic (SURVEY.md §2a:
+    # fixed-point saturating requantize in the HDL datapath).
+    def _pow2_requant(s_in, s_w, s_out, bias, significand_bits=None):
+        e = np.ceil(np.log2(np.maximum(s_in * s_w / s_out, 1e-30)))
+        assert np.all(e <= 0), "requantize scale >= 1 unsupported"
+        shift = (-e).astype(np.int32)
+        s_w_eff = (2.0 ** e) * s_out / s_in
+        off = (bias / s_out + 0.5) * 2.0 ** (-e)
+        if significand_bits is not None:
+            mag = np.maximum(np.abs(off), 1e-30)
+            grid = 2.0 ** np.maximum(
+                np.floor(np.log2(mag)) - (significand_bits - 1), 0.0
+            )
+            off = np.round(off / grid) * grid
+        off = np.round(off)
+        assert np.all(np.abs(off) < 2 ** 28), "bias too large for int32 fold"
+        return shift, off.astype(np.int32), s_w_eff
+
+    # conv1: kernel (1,3,1,C1); offset additionally snapped to an 8-bit
+    # significand so the v9 bias K-lane is bf16-exact.
     w1 = p["Conv1"]["kernel"].astype(np.float64)
     b1 = p["Conv1"]["bias"].astype(np.float64)
     s_w1 = _per_channel_scale(w1, (0, 1, 2))
-    m1_pow2 = 2.0 ** np.ceil(np.log2(s_x * s_w1 / s_a1))
-    s_w1_eff = m1_pow2 * s_a1 / s_x
+    sh1, o1_half, s_w1_eff = _pow2_requant(s_x, s_w1, s_a1, b1,
+                                           significand_bits=8)
     w1p = pack_conv1_weights(
         _quant_w(w1, s_w1_eff, (None, None, None, slice(None)))
     )
-    m1_half = m1_pow2.astype(np.float32)
-    n = (b1 / s_a1 + 0.5) / m1_pow2
-    mag = np.maximum(np.abs(n), 1e-30)
-    grid = 2.0 ** np.maximum(np.floor(np.log2(mag)) - 7, 0.0)
-    n8 = np.round(n / grid) * grid
-    assert np.all(np.abs(n8) + 98_000 < 2 ** 24), "conv1 bias too large for the exact-grid fold"
-    o1_half = (n8 * m1_pow2 - 0.5).astype(np.float32)
-    m1 = np.concatenate([m1_half, m1_half])
+    m1 = np.concatenate([sh1, sh1])
     o1 = np.concatenate([o1_half, o1_half])
 
     # conv2: kernel (2,3,C1,C2); scale per out-channel co (shared across taps
@@ -132,17 +147,17 @@ def quantize(model, params, calib_x: np.ndarray, percentile: float = 99.99) -> Q
     w2 = p["Conv2"]["kernel"].astype(np.float64)
     b2 = p["Conv2"]["bias"].astype(np.float64)
     s_w2 = _per_channel_scale(w2, (0, 1, 2))
-    w2p = pack_conv2_weights(_quant_w(w2, s_w2, (None, None, None, slice(None))))
-    m2 = (s_a1 * s_w2 / s_a2).astype(np.float32)
-    o2 = (b2 / s_a2).astype(np.float32)
+    m2, o2, s_w2_eff = _pow2_requant(s_a1, s_w2, s_a2, b2)
+    w2p = pack_conv2_weights(
+        _quant_w(w2, s_w2_eff, (None, None, None, slice(None)))
+    )
 
     # dense1: (T2*C2, D)
     w3 = p["Dense1"]["kernel"].astype(np.float64)
     b3 = p["Dense1"]["bias"].astype(np.float64)
     s_w3 = _per_channel_scale(w3, (0,))
-    w3q = _quant_w(w3, s_w3, (None, slice(None)))
-    m3 = (s_a2 * s_w3 / s_a3).astype(np.float32)
-    o3 = (b3 / s_a3).astype(np.float32)
+    m3, o3, s_w3_eff = _pow2_requant(s_a2, s_w3, s_a3, b3)
+    w3q = _quant_w(w3, s_w3_eff, (None, slice(None)))
 
     # dense2: logits dequantized to f32 (argmax needs true affine).
     w4 = p["Dense2"]["kernel"].astype(np.float64)
