@@ -140,12 +140,15 @@ class StreamConfig:
     # Per-frame Oerder&Meyr timing estimate + polyphase fractional-delay
     # correction (SURVEY.md N6 "timing normalization"). Implemented, exact
     # (streamed==batch test), and selectable — but default OFF per the
-    # VERDICT r2 #6 measured-cost rule (">5% -> off + record the cost"):
-    # the full config-4 chain measures 296 MS/s with timing vs 360 without
-    # (artifacts/bench_r3_stream.json, 2026-08-21) — a 15.6% throughput
-    # cost. (The earlier ~60us/iter probe figure was measured at probe
-    # shapes and did not transfer to the end-to-end chain.) CFO/carrier
-    # normalization stays ON: its measured cost is 1.5%.
+    # measured-cost rule (">5% -> off + record the cost"): the config-4
+    # chain measures 345 vs 408 MS/s (artifacts/bench_r4_stream.json,
+    # 2026-08-21, r4 numbers) — ~15%. Root cause profiled (r4, closing the
+    # r3 probe-vs-chain mystery): the 17-tap per-frame fractional-delay
+    # interpolator is 17 shifted MAC passes over the stream; the Pallas
+    # rewrite (dsp/normalize.py) collapsed them from 17 unfused HBM passes
+    # to one VMEM-resident kernel (~105 us/4096 frames), but the VPU pass
+    # count is inherent to the filter length. CFO normalization stays ON:
+    # measured ~2%.
     normalize_timing: bool = False
     timing_phases: int = 32
     sps: int = 8                      # samples/symbol at the frame rate
