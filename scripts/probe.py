@@ -33,8 +33,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from modulationdetectioncnn_tpu.ops.cnn_kernels import requantize
+from modulationdetectioncnn_tpu.ops.cnn_kernels import requantize as _rq_prod
 from modulationdetectioncnn_tpu.utils.device import warm_transfer_async
+
+
+def requantize(acc, mult, offset, *, relu: bool = True):
+    """Archive shim: the production requantize became integer add/shift
+    (2026-08-21, fixed-point spec). Probes recorded before that pass
+    synthetic f32 mult/offset — replay those with the f32-era formula so
+    every measured experiment in this archive stays re-runnable; int
+    (shift, offset) consts route to the production spec."""
+    import jax.numpy as _jnp
+    if relu and _jnp.issubdtype(_jnp.asarray(mult).dtype, _jnp.floating):
+        v = acc.astype(_jnp.float32) * mult + (offset + 0.5)
+        return _jnp.clip(v, 0.0, 127.0).astype(_jnp.int8)
+    return _rq_prod(acc, mult, offset, relu=relu)
 from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
 
 rng = np.random.default_rng(0)

@@ -138,3 +138,49 @@ def test_make_int8_predict_all_versions_agree(setup, version):
     got = np.asarray(classify(jnp.asarray(x)))
     want = gq.int8_forward(qm, x).argmax(-1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_pack_conv2_weights_lane256_layout():
+    """Tap k's Co columns sit at lane offset k*Co; lanes 3*Co..256 zero."""
+    r = np.random.default_rng(5)
+    w2 = r.integers(-127, 127, (2, 3, 4, 5)).astype(np.int8)  # Co=5
+    out = infer.pack_conv2_weights_lane256(w2)
+    assert out.shape == (8, 256)
+    for k in range(3):
+        np.testing.assert_array_equal(
+            out[:, k * 5 : (k + 1) * 5], w2[:, k].reshape(8, 5)
+        )
+    assert (out[:, 15:] == 0).all()
+
+
+def test_expand_conv1_weights_v9f_contract(setup):
+    """Folded conv1 weights: rows (2k+h) = w1_i8 * 2^-shift1; bias lane 6 =
+    o1 * 2^-shift1; everything bf16-exact (quantize() fixed-point
+    contract). The bf16 dot then reproduces the integer requantize spec
+    exactly (parametrized e2e test proves the labels)."""
+    model, params, _ = setup
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    assert np.issubdtype(np.asarray(qm.m1).dtype, np.integer)
+    assert np.issubdtype(np.asarray(qm.o2).dtype, np.integer)
+    w = infer.expand_conv1_weights_v9f(qm)
+    assert w.shape == (8, 512)
+    m1 = 2.0 ** (-np.asarray(qm.m1, np.float64))
+    c = qm.w1p.shape[1]
+    for k in range(3):
+        for h in range(2):
+            np.testing.assert_allclose(
+                w[2 * k + h, h * c : (h + 1) * c],
+                (np.asarray(qm.w1p[k], np.float64)
+                 * m1[h * c : (h + 1) * c]).astype(np.float32),
+            )
+    np.testing.assert_allclose(
+        w[6], (np.asarray(qm.o1, np.float64) * m1).astype(np.float32)
+    )
+    assert (w[7] == 0).all()
+    # the 8-bit-significand offset snap keeps the bias lane bf16-exact
+    assert np.all(np.asarray(w.astype(jnp.bfloat16), np.float32) == w)
