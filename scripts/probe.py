@@ -3621,6 +3621,33 @@ def probe_r4f():
         print(f"timing: FAILS ({str(e)[:240]})", flush=True)
 
 
+# ------------------------------------------------------------- r4 addenda
+# Post-r4f ad-hoc experiments (run 2026-08-21 from /tmp scripts mirroring
+# the production v9 kernel; recorded here as measured provenance):
+#
+# r4g — is the integer-rq2 conv speedup sensitive to 1-D vs (1, N) const
+#   refs or per-lane-varying vs uniform shifts?  NO: all four combinations
+#   measure 956–978 us. (This also exposed r4f's 577 us rq2-int figure as
+#   a timing glitch — it was below the 737 us rq-free bound; the real
+#   integer-rq2 conv stage is ~907 us vs 1026 us with the f32 affine.)
+# r4h — v9 (bb, chunk) sweep: (64,16) 1158, (64,8) 1166, (32,8) 1132,
+#   (96,24) 1150, (128,8) 1099→re-run 1179 (tunnel noise ±3–5% swamps the
+#   spread; defaults kept), (64,4) 1214; bb=256 crashes the compile helper.
+# r4i — "v11" block-level tap-build + conv1 hoisting (tap/quantize once
+#   per block, chunked conv2): 971–1034 us conv-only — WORSE than the
+#   interleaved per-chunk structure (907 us); big VPU bursts schedule
+#   against the MXU worse than fine-grained interleave.
+# r4j — unrolled FUSED conv+dense single kernel with integer epilogues
+#   (skips the 67 MB×2 HBM round-trip + dense dispatch): bb=128 1144 us
+#   full-net (458 MS/s) vs split 1157 us (452) — within noise; bb=192
+#   1344 us; not adopted (no reliable win, one more program at the compile
+#   helper's size ceiling).
+# r4 timing profile (dsp/normalize.py rewrite): estimate_timing 0.3 us,
+#   cbig build 10.7 us, pad/reshape ~0, Pallas roll-MAC kernel 105 us at
+#   B=4096 (bb=2048 exceeds the 16 MB scoped-vmem limit; bb=512 used);
+#   chain delta 232 us — the 17-tap interpolator's VPU pass count is the
+#   inherent cost (config.py StreamConfig.normalize_timing).
+
 PROBES = {
     "r4": probe_r4,
     "r4b": probe_r4b,
