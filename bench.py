@@ -119,8 +119,12 @@ def _measure(fwd, args, bc, frame_len):
         probe = jax.tree.leaves(out)[0].ravel()[0].astype(jnp.float32)
         return xc + probe * jnp.float32(1e-38)
 
+    # 5 repeats (not the default 3): the tunnel occasionally yields a wildly
+    # low (T2-T1) pair (observed 375 us for a 1170 us kernel, 2026-08-21) —
+    # a 5-sample median survives two glitched samples.
     samples = sorted(measure_per_iter_chained_samples(
-        body, x0, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters
+        body, x0, n1=bc.warmup_iters, n2=bc.warmup_iters + bc.timed_iters,
+        repeats=5,
     ))
     # Headline = MEDIAN timing sample (VERDICT r3 weak #5 / next #7): the
     # defensible round-over-round number. The min (least-perturbed sample)
