@@ -184,3 +184,19 @@ def test_expand_conv1_weights_v9f_contract(setup):
     assert (w[7] == 0).all()
     # the 8-bit-significand offset snap keeps the bias lane bf16-exact
     assert np.all(np.asarray(w.astype(jnp.bfloat16), np.float32) == w)
+
+
+def test_xla_int8_reference_matches_golden_exactly(setup):
+    """The XLA-fused int8 reference path follows the same fixed-point
+    requantize spec bit-for-bit (it shares ops/cnn_kernels.requantize)."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.ops.infer_xla import make_int8_forward_xla
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    got = np.asarray(make_int8_forward_xla(qm)(jnp.asarray(x)))
+    want = gq.int8_forward(qm, x)
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
