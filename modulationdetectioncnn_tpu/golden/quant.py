@@ -2,9 +2,10 @@
 int8 requantize exactly — integer arithmetic is deterministic").
 
 Mirrors ops/cnn_kernels.py + ops/infer.py operation-for-operation: int32
-accumulation, the same fp32 affine requantize (round-half-even via
-np.round == jnp.round), the same stacked/tap-packed layouts. The Pallas
-int8 kernels must reproduce these int8 activations bit-for-bit.
+accumulation, the same fixed-point integer requantize
+((acc + offset) >> shift — pure integer arithmetic, exact and order-free),
+the same stacked/tap-packed layouts. The Pallas int8 kernels must
+reproduce these int8 activations bit-for-bit.
 """
 from __future__ import annotations
 

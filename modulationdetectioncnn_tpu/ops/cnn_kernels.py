@@ -18,9 +18,11 @@ design decisions (SURVEY.md §7 hard-part #1):
   (94% packed); MAC overhead vs the true conv is 126/124 = 1.6%.
 
 - **int8 path**: int8 x int8 -> int32 on the MXU, exact int32 tap-sums, then
-  a per-channel fp32 affine requantize (mult = s_in*s_w[c]/s_out, offset =
-  bias[c]/s_out) with ReLU folded into the [0,127] clip. Matches the NumPy
-  golden (golden/quant.py) integer-exactly.
+  a per-channel FIXED-POINT requantize (acc + offset) >> shift with the
+  quantizer constraining every scale to 2^-shift and folding bias + the 0.5
+  rounding term into the int32 offset; ReLU folds into the [0,127] clip.
+  Matches the NumPy golden (golden/quant.py) integer-exactly — and is the
+  same arithmetic the reference archetype's HDL datapath used.
 """
 from __future__ import annotations
 

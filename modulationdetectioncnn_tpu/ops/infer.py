@@ -13,7 +13,9 @@ per-layer HDL pipeline, SURVEY.md CS-2):
   verified on-TPU this session).
 
 The int8 path accumulates in int32 on the MXU and requantizes with the same
-fp32 affine as golden/quant.py (bit-exact int8 activations). Layouts shared
+fixed-point integer spec as golden/quant.py — (acc + offset) >> shift with
+quantizer-constrained pow2 scales (bit-exact int8 activations; see
+ops/cnn_kernels.py::requantize for the measured rationale). Layouts shared
 with ops/cnn_kernels.py and golden/quant.py.
 
 KERNEL VERSION STATUS (VERDICT r3 weak #7): **v9 is the production/headline
