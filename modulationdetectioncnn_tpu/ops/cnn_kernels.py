@@ -191,10 +191,11 @@ def requantize(acc, shift, offset, *, relu: bool = True):
     * 2^shift). ReLU folds into the 0 clip; arithmetic shift floors
     negatives, which the clip sends to 0 exactly like the ReLU would.
 
-    Measured rationale (scripts/probe.py r4f, 2026-08-21): the previous
-    f32 affine (convert/mul/add/clip/convert) on conv2's int32 output cost
-    ~450us/iter at B=4096 — the pure-integer path runs the same conv stage
-    at 577us vs 1026us. It is also EXACT integer arithmetic (the f32 form
+    Measured rationale (scripts/probe.py r4f/r4g, 2026-08-21): the f32
+    affine (convert/mul/add/clip/convert) on conv2's int32 output is pure
+    VPU work the MXU waits on — the integer path runs the v9 conv stage at
+    907 us vs 1026 us at B=4096 (r4f's 577 us sample was a timing glitch,
+    see the r4 addenda). It is also EXACT integer arithmetic (the f32 form
     rounded accumulators above 2^24), so golden parity is strengthened.
     relu=False: legacy f32 round-half-even + symmetric clip (off the hot
     path, float mult/offset).
