@@ -102,10 +102,10 @@ def quantize(model, params, calib_x: np.ndarray, percentile: float = 99.99) -> Q
     # weights never clip; worst case the channel uses 1/sqrt(2)... 1/2 of
     # the int8 range) and the offset folds bias + the 0.5 rounding term as
     # an int32 on the same grid. Two measured/exactness reasons:
-    #   1. requantize becomes pure integer add+shift+clip — the f32 affine
-    #      on conv2's int32 output alone cost ~450us/iter at B=4096
-    #      (scripts/probe.py r4f), and integer math is exact where the f32
-    #      path rounded accumulators above 2^24;
+    #   1. requantize becomes pure integer add+shift+clip — measured 120us
+    #      faster per iter on the v9 conv stage at B=4096 (907 vs 1026 us,
+    #      scripts/probe.py r4f/r4g + bench_r4.json), and integer math is
+    #      exact where the f32 path rounded accumulators above 2^24;
     #   2. conv1's requantize folds into bf16 MXU weights exactly
     #      (ops/infer.py make_int8_classifier_v9): with w1_i8 * 2^e bf16-
     #      exact and the bias on the same 2^e grid (8-bit significand),
