@@ -3,8 +3,9 @@
 The TPU analog of the reference's float->fixed-point weight export
 (SURVEY.md §2a "Weight quantizer/exporter"): per-channel symmetric int8
 weights, per-tensor activation scales from percentile calibration, and the
-requantize affine (mult/offset per channel) precomputed so inference kernels
-only do  clip(round(acc * mult + offset)).
+requantize constants precomputed as FIXED-POINT (per-channel pow2 shift +
+int32 offset folding bias and the rounding term) so inference kernels only
+do  clip((acc + offset) >> shift, 0, 127).
 
 The packed artifact (``QuantizedModel``) is a plain pytree — saved via
 utils/checkpoint.py::save_tree, the analog of the reference's ROM images.
