@@ -77,3 +77,24 @@ def test_left_halo_exchange_values():
         np.testing.assert_array_equal(
             out[d, h:], np.arange(d * t_local, (d + 1) * t_local)
         )
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_equals_single_device_with_resampler(n_dev):
+    """The COMPOSED halo (resampler tail + channelizer state + frame reach)
+    stays label-exact under time sharding with 2:3 resampling in front —
+    exercises the r4 MXU windows-matmul resampler inside shard_map."""
+    from modulationdetectioncnn_tpu.dsp.framer import to_planes
+
+    sc = StreamConfig(num_subbands=8, taps_per_branch=8,
+                      resample_up=2, resample_down=3, fir_taps=33,
+                      block_len=8 * 128 * 3)
+    t_local = 8 * 128 * 3
+    x = to_planes(_wideband(n_dev * t_local))
+    predict = _predictor()
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]).reshape(n_dev), ("time",))
+    got = np.asarray(halo.classify_stream_sharded(x, predict, sc, mesh))
+    want = np.asarray(pipeline.classify_stream(x, predict, sc))
+    f = got.shape[1]
+    np.testing.assert_array_equal(got, want[:, :f])
+    assert f >= want.shape[1] - 1
