@@ -20,7 +20,7 @@ TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 # Verified code paths, fastest-first preference for the headline number.
 # (pallas_bf16_v4 exists but is excluded: its Mosaic compile exceeds 9 min
 # through this platform's remote compiler — select it explicitly to retry.)
-BACKENDS = ("pallas_int8_v9", "pallas_int8_v7", "pallas_int8_v6",
+BACKENDS = ("pallas_int8_v7", "pallas_int8_v9", "pallas_int8_v6",
             "pallas_int8_v4", "pallas_int8_v3",
             "pallas_int8", "pallas_bf16", "xla_bf16", "xla_int8")
 

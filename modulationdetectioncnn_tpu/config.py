@@ -171,7 +171,7 @@ class EvalConfig:
     # Which fused Pallas kernel the int8 backend runs (v1..v9). Default =
     # the bench headline kernel, so the accuracy artifact proves the SAME
     # code path the throughput number measures (VERDICT r2 next #3).
-    int8_kernel: str = "v9"
+    int8_kernel: str = "v7"
     batch_size: int = 2048
 
 
@@ -182,7 +182,7 @@ class BenchConfig:
     timed_iters: int = 20
     # Measured code path (bench.py BACKENDS). The default MUST be the
     # fastest verified backend — the driver-recorded headline number.
-    backend: str = "pallas_int8_v9"
+    backend: str = "pallas_int8_v7"
     # 'cnn' = classifier only (frames in HBM); 'stream' = full DSP chain
     # (channelize + normalize + frame + classify) on continuous wideband IQ.
     mode: str = "cnn"

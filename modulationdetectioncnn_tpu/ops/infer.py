@@ -18,13 +18,17 @@ quantizer-constrained pow2 scales (bit-exact int8 activations; see
 ops/cnn_kernels.py::requantize for the measured rationale). Layouts shared
 with ops/cnn_kernels.py and golden/quant.py.
 
-KERNEL VERSION STATUS (VERDICT r3 weak #7): **v9 is the production/headline
+KERNEL VERSION STATUS (VERDICT r3 weak #7): **v7 is the production/headline
 kernel** (config.py EvalConfig.int8_kernel, bench.py BACKENDS, and the
-make_int8_predict default all select it). v1..v7 are SUPERSEDED reference
-implementations kept as measured provenance for the probe-driven design
-lineage (scripts/probe.py); they stay correct and selectable but are
-parity-tested only through the parametrized test, and nothing defaults to
-them. bf16 v4 is unusable on this platform (Mosaic compile >9 min).
+make_int8_predict default all select it) — under the r4 fixed-point
+requantize spec it measures 456-476 MS/s vs v9's 442-444 in interleaved
+head-to-head runs (the v9 lane-roll shift-add costs more VPU than its
+N=256 repack saves once requantize is integer; probe r4l). v1..v6 and v9
+are reference implementations kept as measured provenance for the
+probe-driven design lineage (scripts/probe.py); they stay correct and
+selectable but are parity-tested only through the parametrized test, and
+nothing defaults to them. bf16 v4 is unusable on this platform (Mosaic
+compile >9 min).
 """
 from __future__ import annotations
 
@@ -1205,7 +1209,7 @@ def make_int8_classifier_v9(qm, *, block_b: int = 64, chunk: int = 16,
     return classify
 
 
-def make_int8_predict(qm, version: str = "v9", *, interpret: bool = False):
+def make_int8_predict(qm, version: str = "v7", *, interpret: bool = False):
     """Version-selectable int8 label predictor: (B,2,T) f32 -> (B,) int32.
 
     The eval/quantize CLI routes through this so the accuracy artifact can
