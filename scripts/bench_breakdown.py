@@ -30,14 +30,17 @@ MEASURED_INT8_TOPS = 460.6e12   # artifacts/bench_r2.json kernel_ceilings
 BATCH = 4096
 T_IN = 128
 
-# Padded MACs/frame of the v9 layout (conv1 K=8 bf16 dot + conv2 N=256
-# lane-offset packing + dense1 16384x256 + dense2 256x128); useful MACs of
-# the true model. v9 cuts conv2's padded lanes 384 -> 256 (VERDICT r3 next
-# #1: padded_macs_per_frame <= 22.5M — now 21.5M).
-CONV_MACS = T_IN * (8 + 2 * 128) * 512
+# Padded MACs/frame. v9 (conv2 N=256 lane-offset packing) meets the r3
+# verdict's padded_macs <= 22.5M gate at 21.5M — but under the r4
+# fixed-point requantize spec the HEADLINE is v7 (N=384, no rolls,
+# 29.9M padded): interleaved head-to-head (probe r4l) shows v7 faster by
+# 3-7% because the padding was never the binder once requantize went
+# integer. Both accountings are recorded below.
+CONV_MACS_V9 = T_IN * (8 + 2 * 128) * 512
 DENSE_MACS = T_IN * 128 * 256 + 256 * 128
-PADDED_MACS = CONV_MACS + DENSE_MACS
 CONV_MACS_V7 = T_IN * (8 + 3 * 128) * 512
+PADDED_V9 = CONV_MACS_V9 + DENSE_MACS
+PADDED_V7 = CONV_MACS_V7 + DENSE_MACS
 USEFUL_MACS = 126 * 6 * 256 + 124 * 1536 * 80 + 9920 * 256 + 256 * 11
 
 
@@ -91,10 +94,12 @@ def main(out_path: str = "/root/repo/artifacts/bench_r4.json") -> None:
         print(name, json.dumps(entry), flush=True)
         return sec
 
-    # ---- headline kernel (v9: bf16-folded conv1 requantize + N=256
-    # conv2, r4/r4d probes) per stage
+    # ---- headline kernel (v7 under the fixed-point requantize spec;
+    # probe r4l) and the v9 padding-cut reference, then the v9 stage split
+    classify7 = infer.make_int8_classifier_v7(qm)
+    record("v7_full_headline", _chain(classify7, x0), PADDED_V7)
     classify9 = infer.make_int8_classifier_v9(qm)
-    sec_full = record("v9_full_headline", _chain(classify9, x0), PADDED_MACS)
+    sec_full = record("v9_full_reference", _chain(classify9, x0), PADDED_V9)
 
     c2 = qm.m2.shape[0]
     cin = qm.w2p.shape[0] // 2
@@ -127,7 +132,7 @@ def main(out_path: str = "/root/repo/artifacts/bench_r4.json") -> None:
         )(x, *conv9_consts)
 
     sec_conv = record(
-        "conv_stage_v9", _chain(conv9, x0), CONV_MACS,
+        "conv_stage_v9", _chain(conv9, x0), CONV_MACS_V9,
         note="in-kernel quantize + bf16-folded conv1 rq + N=256 conv2 "
              "with lane-roll shift-add")
 
@@ -156,22 +161,23 @@ def main(out_path: str = "/root/repo/artifacts/bench_r4.json") -> None:
     glue = sec_full - sec_conv - sec_dense
     record("reshape_glue_residual", max(glue, 0.0),
            note="(B,128,128)->(B,16384) reshape + inter-kernel HBM + "
-                "dispatch glue (v9 has NO separate prologue: quantize + "
-                "tap build live in the conv kernel)")
-
-    # v7 (prior headline) for comparison at ITS padded-MAC accounting
-    classify7 = infer.make_int8_classifier_v7(qm)
-    record("v7_full_reference", _chain(classify7, x0),
-           CONV_MACS_V7 + DENSE_MACS)
+                "dispatch glue (neither kernel has a separate prologue: "
+                "quantize + tap build live in the conv kernel)")
 
     out = {
         "date": "2026-08-21",
         "batch": BATCH,
         "device": str(jax.devices()[0]),
         "measured_int8_ceiling_tops": MEASURED_INT8_TOPS / 1e12,
-        "padded_macs_per_frame": PADDED_MACS,
+        "padded_macs_per_frame_headline_v7": PADDED_V7,
+        "padded_macs_per_frame_v9": PADDED_V9,
         "useful_macs_per_frame": USEFUL_MACS,
-        "padding_overhead_x": round(PADDED_MACS / USEFUL_MACS, 3),
+        "padding_overhead_x_headline_v7": round(PADDED_V7 / USEFUL_MACS, 3),
+        "padding_overhead_x_v9": round(PADDED_V9 / USEFUL_MACS, 3),
+        "note": ("v9 satisfies the r3 verdict's <=22.5M padded-MAC gate "
+                 "(21.5M) but v7 is FASTER under the fixed-point requantize "
+                 "spec (probe r4l head-to-head) — padding was not the "
+                 "binder; per-dot fixed costs + VPU passes are."),
         "stages": stages,
         "stage_shares_of_full": {
             "conv_incl_prologue": round(sec_conv / sec_full, 3),
