@@ -141,8 +141,8 @@ class StreamConfig:
     # correction (SURVEY.md N6 "timing normalization"). Implemented, exact
     # (streamed==batch test), and selectable — but default OFF per the
     # measured-cost rule (">5% -> off + record the cost"): the config-4
-    # chain measures 345 vs 408 MS/s (artifacts/bench_r4_stream.json,
-    # 2026-08-21, r4 numbers) — ~15%. Root cause profiled (r4, closing the
+    # chain cost measures 6-15% across runs (artifacts/bench_r4_stream.json,
+    # 2026-08-21, r4 numbers). Root cause profiled (r4, closing the
     # r3 probe-vs-chain mystery): the 17-tap per-frame fractional-delay
     # interpolator is 17 shifted MAC passes over the stream; the Pallas
     # rewrite (dsp/normalize.py) collapsed them from 17 unfused HBM passes
