@@ -20,8 +20,8 @@ TARGET_SAMPLES_PER_SEC = 1.0e9  # BASELINE.json:5
 # Verified code paths, fastest-first preference for the headline number.
 # (pallas_bf16_v4 exists but is excluded: its Mosaic compile exceeds 9 min
 # through this platform's remote compiler — select it explicitly to retry.)
-BACKENDS = ("pallas_int8_v7", "pallas_int8_v9", "pallas_int8_v6",
-            "pallas_int8_v4", "pallas_int8_v3",
+BACKENDS = ("pallas_int8_v10", "pallas_int8_v7", "pallas_int8_v9",
+            "pallas_int8_v6", "pallas_int8_v4", "pallas_int8_v3",
             "pallas_int8", "pallas_bf16", "xla_bf16", "xla_int8")
 
 
@@ -68,7 +68,8 @@ def make_classifier(cfg, backend: str, batch: int):
         calib = rng.standard_normal((256, 2, frame_len)).astype(np.float32)
         qm = quantize(model, params, calib)
         if backend in ("pallas_int8_v3", "pallas_int8_v4", "pallas_int8_v5",
-                       "pallas_int8_v6", "pallas_int8_v7", "pallas_int8_v9"):
+                       "pallas_int8_v6", "pallas_int8_v7", "pallas_int8_v9",
+                       "pallas_int8_v10"):
             from modulationdetectioncnn_tpu.ops import infer as _inf
 
             make = {"pallas_int8_v3": _inf.make_int8_classifier_v3,
@@ -76,7 +77,8 @@ def make_classifier(cfg, backend: str, batch: int):
                     "pallas_int8_v5": _inf.make_int8_classifier_v5,
                     "pallas_int8_v6": _inf.make_int8_classifier_v6,
                     "pallas_int8_v7": _inf.make_int8_classifier_v7,
-                    "pallas_int8_v9": _inf.make_int8_classifier_v9}[backend]
+                    "pallas_int8_v9": _inf.make_int8_classifier_v9,
+                    "pallas_int8_v10": _inf.make_int8_classifier_v10}[backend]
             return make(qm), (x,)  # emits labels directly
         if backend == "xla_int8":
             from modulationdetectioncnn_tpu.ops.infer_xla import (
@@ -158,9 +160,42 @@ def run(cfg=None, quiet: bool = False, backend: str | None = None,
         # to a different code path instead of re-running itself (ADVICE r2 #2).
         return run_stream_bench(cfg, quiet=quiet, backend=backend)
 
-    fwd, args = make_classifier(cfg, backend, bc.batch_size)
-    frames_per_sec, samples_per_sec, spread = _measure(
-        fwd, args, bc, cfg.data.frame_len)
+    # Per-session kernel calibration (VERDICT r4 next #7): short interleaved
+    # A/B across the candidate kernels in THIS session's tunnel phase; the
+    # winner becomes the headline. Skipped for explicit backend requests
+    # and fallback reruns.
+    # Each candidate gets the FULL 5-repeat median measurement (a short
+    # 3-pair pre-screen measured v10 at 645.8 us in a session where its
+    # true median was 1159.7 — quick pairs glitch too often to pick a
+    # winner by); the winner's own measurement IS the headline, so
+    # calibration adds compiles but no re-measurement.
+    measured: dict[str, tuple] = {}
+    if (fallback_from is None and backend == bc.backend
+            and getattr(bc, "calibrate", False)
+            and backend in getattr(bc, "calibration_candidates", ())
+            and len(bc.calibration_candidates) > 1):
+        for cand in bc.calibration_candidates:
+            try:
+                fwd_c, args_c = make_classifier(cfg, cand, bc.batch_size)
+                measured[cand] = _measure(fwd_c, args_c, bc,
+                                          cfg.data.frame_len)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"calibration_skip": cand,
+                                  "error": repr(e)[:160]}), file=sys.stderr)
+        if measured:
+            backend = max(measured, key=lambda k: measured[k][1])
+            print(json.dumps({
+                "kernel_calibration": {
+                    k: v[2]["timing_samples_us"][len(v[2]["timing_samples_us"]) // 2]
+                    for k, v in measured.items()},
+                "winner": backend}), file=sys.stderr)
+
+    if backend in measured:
+        frames_per_sec, samples_per_sec, spread = measured[backend]
+    else:
+        fwd, args = make_classifier(cfg, backend, bc.batch_size)
+        frames_per_sec, samples_per_sec, spread = _measure(
+            fwd, args, bc, cfg.data.frame_len)
     result = {
         "metric": "classified_iq_samples_per_sec_per_chip",
         "value": round(samples_per_sec),
@@ -199,7 +234,9 @@ def run_stream_bench(cfg, quiet: bool = False,
 
     from modulationdetectioncnn_tpu.dsp import pipeline
     from modulationdetectioncnn_tpu.golden.dsp import design_prototype
-    from modulationdetectioncnn_tpu.utils.timing import measure_per_iter_chained
+    from modulationdetectioncnn_tpu.utils.timing import (
+        measure_per_iter_chained_samples,
+    )
 
     backend = backend or cfg.bench.backend
     sc = cfg.stream
@@ -231,10 +268,14 @@ def run_stream_bench(cfg, quiet: bool = False,
         probe = labels.ravel()[0].astype(jnp.float32)
         return xc + probe * jnp.float32(1e-38)
 
-    sec = measure_per_iter_chained(
+    # Median of 5 pairs, same methodology as the cnn-mode headline: a
+    # single glitched pair once read the stream chain at 942 MS/s when the
+    # CNN alone runs 1077 us/iter — physically impossible, median-proof.
+    samples = sorted(measure_per_iter_chained_samples(
         body, x0, n1=cfg.bench.warmup_iters,
-        n2=cfg.bench.warmup_iters + cfg.bench.timed_iters,
-    )
+        n2=cfg.bench.warmup_iters + cfg.bench.timed_iters, repeats=5,
+    ))
+    sec = samples[len(samples) // 2]
     samples_per_sec = t_len / sec
     result = {
         "metric": "streamed_iq_samples_per_sec_per_chip",

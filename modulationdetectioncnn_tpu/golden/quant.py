@@ -21,6 +21,13 @@ def _requant(acc_i32: np.ndarray, shift: np.ndarray, offset: np.ndarray, relu=Tr
     if relu:
         v = (acc_i32 + offset.astype(np.int32)) >> shift.astype(np.int32)
         return np.clip(v, 0, 127).astype(np.int8)
+    if not np.issubdtype(np.asarray(shift).dtype, np.floating):
+        # Lockstep with ops/cnn_kernels.requantize (ADVICE r4 #2): the
+        # legacy branch treats ``shift`` as an f32 multiplier.
+        raise TypeError(
+            "_requant(relu=False) expects legacy f32 (mult, offset); got "
+            f"integer dtype {np.asarray(shift).dtype}"
+        )
     v = np.round(acc_i32.astype(np.float32) * shift + offset)
     return np.clip(v, -127.0, 127.0).astype(np.int8)
 

@@ -204,6 +204,15 @@ def requantize(acc, shift, offset, *, relu: bool = True):
     if relu:
         v = jnp.right_shift(acc + offset, shift)
         return jnp.clip(v, 0, 127).astype(jnp.int8)
+    if not jnp.issubdtype(jnp.result_type(shift), jnp.floating):
+        # The legacy branch multiplies by ``shift`` as an f32 scale; feeding
+        # it the fixed-point int32 shift counts would scale the accumulator
+        # by the shift COUNT (ADVICE r4 #2 — a loaded trap, no live caller).
+        raise TypeError(
+            "requantize(relu=False) expects legacy f32 (mult, offset); got "
+            f"integer dtype {jnp.result_type(shift)} — use the relu=True "
+            "fixed-point path or dequantize explicitly"
+        )
     v = jnp.round(acc.astype(jnp.float32) * shift + offset)
     return jnp.clip(v, -127.0, 127.0).astype(jnp.int8)
 

@@ -1069,6 +1069,15 @@ def expand_conv1_weights_v9f(qm) -> np.ndarray:
     assert np.all(np.asarray(wb, np.float32) == w), (
         "folded conv1 weights must be bf16-exact (quantize() contract)"
     )
+    # Exactness also needs every f32 partial sum to stay an exact integer
+    # multiple of 2^-shift1 below 2^24 (ADVICE r4 #3): conv1's accumulator
+    # is bounded by 3*127*127 per plane, so assert the worst case
+    # |acc| + |o1| statically — a large-bias/large-shift model would
+    # otherwise silently lose on-chip bit-exactness.
+    assert np.all(3 * 127 * 127 + np.abs(o1) < 2 ** 24), (
+        "conv1 |acc|+|offset| can reach 2^24: the folded bf16-dot requantize "
+        "is no longer exact for this model; use the int8 conv1 kernels"
+    )
     return w
 
 
@@ -1209,12 +1218,238 @@ def make_int8_classifier_v9(qm, *, block_b: int = 64, chunk: int = 16,
     return classify
 
 
+# ------------- v10: v9's low-padding conv2 + v7's epilogue pipelining
+#
+# The r5 probe matrix (scripts/probe.py::probe_r5conv, measured 2026-08-21
+# on-chip, all candidates interleaved in one session) settled the r4 v7-vs-v9
+# question: neither padding NOR pipelining alone was the lever — BOTH are.
+#   v7  (N=384, int8 conv1, pipelined)        904.5 us conv stage
+#   v9  (N=256, folded conv1, unpipelined)    965.0 us
+#   v10 (N=256, folded conv1, PIPELINED)      750.5 us   <- headline
+# Also measured and rejected: taps-on-K conv2 (sublane-offset int8
+# activation slices relayout on the VPU: 1059-1422 us), chunk=32/64
+# (1187-1422 us), 128/256 grid steps (1092-1376 us), and N=384 with the
+# folded conv1 (1186.9 us — the f32 conv1 dot + 384-wide epilogue schedule
+# badly together; the narrower N=256 + lane-roll epilogue pipelines
+# cleanly). Exactness: the v9f folded conv1 is exact on the pow2-m1 grid
+# (expand_conv1_weights_v9f contract), the lane-roll shift-add and integer
+# rq2 are v9's, and pipelining only REORDERS whole-chunk computations —
+# every path is bit-exact vs golden/quant.py (parametrized parity test).
+
+
+def _conv_stage_int8_v10_kernel(
+    x_ref, w1_ref, w2_ref, m2_ref, o2_ref, o_ref,
+    *, chunk, co, inv_sx, interpret=False,
+):
+    """(bb, 2, T) f32 -> quantize+taps+bias lane (VPU) -> folded bf16 conv1
+    dot (requantize exact, v9f) -> clip/convert -> int8 N=256 conv2 dot ->
+    lane-roll shift-add -> integer rq2 -> (bb, T, 128) int8, with chunk
+    ci's MXU dots issued before chunk ci-1's epilogue and chunk ci+1's
+    conv1 clip (v7's 2-deep epilogue pipelining)."""
+    tb, t_len = x_ref.shape[0], x_ref.shape[2]
+    m = chunk * t_len
+    n = tb // chunk
+
+    def roll(a, k, axis):
+        if interpret:  # pltpu.roll has no CPU-interpret lowering
+            return jnp.roll(a, k, axis)
+        return pltpu.roll(a, k, axis)
+
+    def d1(ci):
+        xb = x_ref[ci * chunk : (ci + 1) * chunk]          # (chunk, 2, T)
+        q2 = jnp.clip(jnp.round(xb * inv_sx), -127.0, 127.0)
+        xp = jnp.concatenate(
+            [q2, roll(q2, t_len - 1, 2), roll(q2, t_len - 2, 2),
+             jnp.ones_like(q2[:, :1]), jnp.zeros_like(q2[:, :1])], axis=1)
+        xe = jnp.swapaxes(xp.astype(jnp.bfloat16), 1, 2).reshape(m, 8)
+        return jax.lax.dot_general(
+            xe, w1_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # == a1*m1+o1+0.5
+
+    def rq1(a1f):
+        return jnp.clip(a1f, 0.0, 127.0).astype(jnp.int8)
+
+    def conv2(a1q):
+        return jax.lax.dot_general(
+            a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def epilogue(z):
+        zz = z.reshape(chunk, t_len, 2 * _LANES)
+        r1 = roll(zz, 2 * _LANES - co, 2)
+        r2 = roll(zz, 2 * _LANES - 2 * co, 2)
+        s = (zz[:, 0 : t_len - 2, 0:_LANES]
+             + r1[:, 1 : t_len - 1, 0:_LANES]
+             + r2[:, 2:t_len, 0:_LANES])
+        s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+        return requantize(s, m2_ref[:], o2_ref[:], relu=True)
+
+    a1q = rq1(d1(0))
+    z_prev = None
+    for ci in range(n):
+        a1f_next = d1(ci + 1) if ci + 1 < n else None      # VPU taps + MXU
+        z = conv2(a1q)                                     # MXU
+        if z_prev is not None:                             # VPU (chunk ci-1)
+            o_ref[(ci - 1) * chunk : ci * chunk] = epilogue(z_prev)
+        if a1f_next is not None:                           # VPU (chunk ci+1)
+            a1q = rq1(a1f_next)
+        z_prev = z
+    o_ref[(n - 1) * chunk :] = epilogue(z_prev)
+
+
+def make_int8_classifier_v10(qm, *, block_b: int = 64, chunk: int = 8,
+                             dense_block_b: int = 256,
+                             interpret: bool = False):
+    """HEADLINE fused int8 classifier: (B,2,T) f32 -> (B,) int32 labels.
+    Bit-exact vs golden/quant.py. chunk=8 measured (probe_r5full,
+    2026-08-21): full net 990.0 us @ B=4096 vs v7's 1090.3 same-session;
+    chunk=16 runs 1214-1241 us — the pipelined l256 form at chunk=16
+    carries ~2x the live VMEM (f32 conv1 out + two int32 z buffers) and
+    thrashes, while chunk=8 fits."""
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    w1f = expand_conv1_weights_v9f(qm)          # (8, 2C) f32, bf16-exact
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2r = pack_conv2_weights_lane256(w2)        # (2Cin, 256) int8
+    m2p = _pad_cols(qm.m2)
+    o2p = _pad_cols(qm.o2)
+    w4 = _pad_cols(qm.w4)
+    s4 = _pad_cols(qm.s4)
+    b4 = _pad_cols(qm.b4)
+    inv_sx = float(1.0 / qm.s_x)
+    conv_consts = [jnp.asarray(w1f).astype(jnp.bfloat16),
+                   jnp.asarray(w2r), jnp.asarray(m2p), jnp.asarray(o2p)]
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    maybe_jit = (lambda f: f) if interpret else jax.jit
+
+    @maybe_jit
+    def classify(x):
+        b0 = x.shape[0]
+        tile = max(block_b, dense_block_b)
+        bp = -(-b0 // tile) * tile
+        if bp != b0:
+            x = jnp.pad(x, [(0, bp - b0), (0, 0), (0, 0)])
+        b, _, t_in = x.shape
+        t2 = t_in - 4
+        w3p = pack_dense1_weights_v3(qm.w3, t2, c2, t_in)
+        dense_consts = [jnp.asarray(a) for a in
+                        (w3p, qm.m3, qm.o3, w4, s4, b4)]
+        out2 = pl.pallas_call(
+            functools.partial(_conv_stage_int8_v10_kernel, chunk=chunk,
+                              co=c2, inv_sx=inv_sx, interpret=interpret),
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, 2, t_in), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in conv_consts],
+            out_specs=pl.BlockSpec((block_b, t_in, _LANES),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t_in, _LANES), jnp.int8),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * t_in * (8 + 2 * _LANES) * 512,
+                bytes_accessed=b * t_in * (_LANES + 8) + 300_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(x.astype(jnp.float32), *conv_consts)
+        h = out2.reshape(b, t_in * _LANES)
+        labels = pl.pallas_call(
+            functools.partial(_dense_argmax_int8_kernel, nc=nc),
+            grid=(b // dense_block_b,),
+            in_specs=[pl.BlockSpec((dense_block_b, t_in * _LANES),
+                                   lambda i: (i, 0))]
+            + [_spec(a) for a in dense_consts],
+            out_specs=pl.BlockSpec((dense_block_b, 1), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, 1), jnp.int32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * (t_in * _LANES * 256 + 256 * _LANES),
+                bytes_accessed=b * (t_in * _LANES + 4) + 4_300_000,
+                transcendentals=0,
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(h, *dense_consts)
+        return labels[:b0, 0]
+
+    return classify
+
+
+def make_conv_stage(qm, version: str = "v10", *, block_b: int = 8,
+                    chunk: int = 4, interpret: bool = False):
+    """Conv-STAGE-only runner for FULL-ACTIVATION parity tests and bench
+    breakdowns (ADVICE r4 #4: label-only agreement can mask per-activation
+    requantize mismatches): (B,2,T) f32 -> (B, T, 128) int8 conv2
+    activation map. The valid region [:, :T-4, :Co] bit-matches golden
+    quantize_input -> conv1_int8 -> conv2_int8; rows/lanes beyond it are
+    layout padding, nulled downstream by the zero rows of the packed W3.
+    B must be a multiple of block_b."""
+    c2 = qm.m2.shape[0]
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    m2p = _pad_cols(qm.m2)
+    o2p = _pad_cols(qm.o2)
+    inv_sx = float(1.0 / qm.s_x)
+    if version == "v7":
+        consts = [jnp.asarray(a) for a in
+                  (expand_conv1_weights_v9(qm.w1p), qm.m1, qm.o1,
+                   pack_conv2_weights_tap384(w2), m2p, o2p)]
+        kern = functools.partial(_conv_stage_int8_v7_kernel, chunk=chunk,
+                                 inv_sx=inv_sx, interpret=interpret)
+    elif version in ("v9", "v10"):
+        consts = [jnp.asarray(expand_conv1_weights_v9f(qm)
+                              ).astype(jnp.bfloat16),
+                  jnp.asarray(pack_conv2_weights_lane256(w2)),
+                  jnp.asarray(m2p), jnp.asarray(o2p)]
+        k = (_conv_stage_int8_v9_kernel if version == "v9"
+             else _conv_stage_int8_v10_kernel)
+        kern = functools.partial(k, chunk=chunk, co=c2, inv_sx=inv_sx,
+                                 interpret=interpret)
+    else:
+        raise ValueError(f"no conv-stage runner for version {version!r}")
+
+    def _spec(a):
+        s = a.shape
+        if len(s) == 1:
+            return pl.BlockSpec(s, lambda i: (0,))
+        return pl.BlockSpec(s, lambda i: (0, 0))
+
+    def conv_stage(x):
+        b, _, t_in = x.shape
+        assert b % block_b == 0, "B must be a multiple of block_b"
+        return pl.pallas_call(
+            kern,
+            grid=(b // block_b,),
+            in_specs=[pl.BlockSpec((block_b, 2, t_in), lambda i: (i, 0, 0))]
+            + [_spec(a) for a in consts],
+            out_specs=pl.BlockSpec((block_b, t_in, _LANES),
+                                   lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, t_in, _LANES), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(x.astype(jnp.float32), *consts)
+
+    return conv_stage
+
+
 def make_int8_predict(qm, version: str = "v7", *, interpret: bool = False):
     """Version-selectable int8 label predictor: (B,2,T) f32 -> (B,) int32.
 
     The eval/quantize CLI routes through this so the accuracy artifact can
     (and by default does) exercise the SAME kernel the bench headline
     measures (VERDICT r2 weak #3 / next #3)."""
+    if version == "v10":
+        return make_int8_classifier_v10(qm, interpret=interpret)
     if version == "v9":
         return make_int8_classifier_v9(qm, interpret=interpret)
     if version == "v7":

@@ -42,6 +42,11 @@ def main(backend: str | None = None) -> None:
                          "stream.block_len=49152"],
         "cfo_off_timing_off": ["stream.normalize_cfo=false",
                                "stream.normalize_timing=false"],
+        # r5 (VERDICT r4 next #3): isolate the CFO cost the r4 artifact put
+        # at ~8.6% against config.py's stale "~2%" claim, and measure the
+        # half-size spectral search as the cut candidate.
+        "cfo_pad2": ["stream.cfo_pad_factor=2"],
+        "default_rerun": [],
     }
     out = {"backend": backend, "cnn_only_samples_per_sec": cnn["value"],
            "variants": {}}
@@ -59,7 +64,7 @@ def main(backend: str | None = None) -> None:
             out["variants"][name] = {"error": repr(e)[:200]}
         print(name, json.dumps(out["variants"][name]), flush=True)
 
-    path = "/root/repo/artifacts/bench_r4_stream.json"
+    path = "/root/repo/artifacts/bench_r5_stream.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", path, flush=True)

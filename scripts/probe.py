@@ -3648,7 +3648,492 @@ def probe_r4f():
 #   chain delta 232 us — the 17-tap interpolator's VPU pass count is the
 #   inherent cost (config.py StreamConfig.normalize_timing).
 
+# ------------------------------------------------------------- r5 addenda
+# All measured 2026-08-21 on-chip. HEADLINE LESSON: single two-length
+# chained pairs glitch LOW often enough to mislead a whole round — every
+# decision below rests on >=3 interleaved samples (probe_r5ab/r5c2).
+#
+# r5conv — conv-stage restructure matrix (single pairs, see r5c2 for the
+#   corrected medians): v7 904.5 / v9 965.0; taps-on-K conv2 (sublane-
+#   offset int8 activation slices) 1059-1422 us across chunk/grid/pipe
+#   variants — int8 sublane-offset slicing relayouts on the VPU, REJECTED;
+#   l384+folded-conv1+pipe 1186.9 (f32 conv1 dot + 384-wide epilogue
+#   schedule badly together); l256+fold+pipe read 750.5 — later exposed
+#   as a glitched pair (r5c2: same program 985-1011 over 6 samples).
+# r5full — v10(l256+fold+pipe) full-net: ch16 1241/1219/1214 (dbb256/
+#   dbb512/bb128), ch8 990.0 (also later shown glitch-assisted, r5ab);
+#   BATCH SWEEP (VERDICT r4 next #6): v10 B=8192 2683 us (327.5 ns/fr) and
+#   B=16384 5266.7 (321.5 ns/fr) vs 242-296 ns/fr at B=4096; v7 B=8192
+#   2395.7 (292.4 ns/fr) vs 266 at 4096 — larger batches are WORSE
+#   per-frame on this platform (HBM input residency + no dispatch
+#   amortization to win); B=4096 confirmed as the headline batch.
+# r5ab — 3-sample interleaved full-net medians: v7 1091.2 us
+#   [1127.7/1091.2/1087.4] vs v10 ch8 1213.8, ch8 bb32 1242.5, ch4 1254.5,
+#   ch8 dbb512 1194.4 — v7 wins full-net by ~9-13%, tight samples.
+# r5c2 — 3-sample interleaved conv-stage medians: v7conv 900.4
+#   [903.3/900.4/860.5]; l256+fold+pipe ch16 arb 1001.0, ch16 par 995.3,
+#   ch8 arb 1010.4, ch8 par 992.7. CONCLUSION: no admissible conv2
+#   structure (N=256 lane-roll / N=384 sublane-add / taps-on-K; folded or
+#   int8 conv1; chunk 4-64; 64-256 grid steps; pipelined or not; parallel
+#   or arbitrary semantics) beats v7's 900 us; the v7 two-kernel structure
+#   is the measured per-chip optimum of this program family. v10 is kept
+#   as a selectable kernel + calibration candidate (bench.py measures all
+#   three per session and headlines the winner).
+
+# ---------------------------------------------------------------------- r5
+def _r5_consts():
+    """Shared packings for the r5 conv-stage candidates (real qm)."""
+    from modulationdetectioncnn_tpu.ops import infer
+
+    qm = _qm()
+    c2 = qm.m2.shape[0]
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    return {
+        "qm": qm,
+        "infer": infer,
+        "inv_sx": float(1.0 / qm.s_x),
+        "w1f": jnp.asarray(infer.expand_conv1_weights_v9f(qm)
+                           ).astype(jnp.bfloat16),
+        "w2_tapk": jnp.asarray(infer.pack_conv2_weights_tapk(w2)),   # (1536,128)
+        "w2_l256": jnp.asarray(infer.pack_conv2_weights_lane256(w2)),
+        "w2_l384": jnp.asarray(infer.pack_conv2_weights_tap384(w2)),
+        "m2p": jnp.asarray(infer._pad_cols(qm.m2)),
+        "o2p": jnp.asarray(infer._pad_cols(qm.o2)),
+        "c2": c2,
+    }
+
+
+def _r5_make_conv(cc, *, form, bb, chunk, pipe, split1=1, sem="arbitrary"):
+    """Conv-stage candidate factory: folded-bf16 conv1 (v9f trick) + conv2
+    in one of three forms:
+      tapk  3 accumulated (m-2,512)@(512,128) dots, taps via sublane-offset
+            activation slices -> NO shift-add pass, narrow (m,128) epilogue
+      l256  v9 packing: one (m,512)@(512,256) dot + int32 lane rolls
+      l384  v7 packing: one (m,512)@(512,384) dot + sublane-offset adds
+    pipe=True replicates v7's 2-deep epilogue pipelining across chunks."""
+    inv_sx = cc["inv_sx"]
+    w2 = {"tapk": cc["w2_tapk"], "l256": cc["w2_l256"],
+          "l384": cc["w2_l384"]}[form]
+    consts = [cc["w1f"], w2, cc["m2p"], cc["o2p"]]
+    kdim = 512
+
+    def kern(x_ref, w1_ref, w2_ref, m2_ref, o2_ref, o_ref):
+        tb, t_len = x_ref.shape[0], x_ref.shape[2]
+        m = chunk * t_len
+        n = tb // chunk
+
+        def taps(ci):
+            xb = x_ref[ci * chunk : (ci + 1) * chunk]
+            q2 = jnp.clip(jnp.round(xb * inv_sx), -127.0, 127.0)
+            xp = jnp.concatenate(
+                [q2, pltpu.roll(q2, t_len - 1, 2), pltpu.roll(q2, t_len - 2, 2),
+                 jnp.ones_like(q2[:, :1]), jnp.zeros_like(q2[:, :1])], axis=1)
+            return jnp.swapaxes(xp.astype(jnp.bfloat16), 1, 2).reshape(m, 8)
+
+        def d1(xe):
+            if split1 == 1:
+                return jax.lax.dot_general(
+                    xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            ms = m // split1
+            return [jax.lax.dot_general(
+                xe[s * ms : (s + 1) * ms], w1_ref[:],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) for s in range(split1)]
+
+        def rq1(a1f):
+            if split1 == 1:
+                return jnp.clip(a1f, 0.0, 127.0).astype(jnp.int8)
+            return jnp.concatenate(
+                [jnp.clip(p, 0.0, 127.0).astype(jnp.int8) for p in a1f],
+                axis=0)
+
+        def conv2(a1q):
+            if form == "tapk":
+                acc = None
+                for k in range(3):
+                    d = jax.lax.dot_general(
+                        a1q[k : k + m - 2],
+                        w2_ref[k * kdim : (k + 1) * kdim],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+                    acc = d if acc is None else acc + d
+                return acc
+            return jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def epilogue(z):
+            if form == "tapk":
+                s = jnp.pad(z, ((0, 2), (0, 0))).reshape(chunk, t_len, 128)
+            elif form == "l256":
+                zz = z.reshape(chunk, t_len, 256)
+                r1 = pltpu.roll(zz, 256 - 80, 2)
+                r2 = pltpu.roll(zz, 256 - 160, 2)
+                s = (zz[:, 0 : t_len - 2, 0:128]
+                     + r1[:, 1 : t_len - 1, 0:128] + r2[:, 2:t_len, 0:128])
+                s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            else:
+                zz = z.reshape(chunk, t_len, 384)
+                s = (zz[:, 0 : t_len - 2, 0:128]
+                     + zz[:, 1 : t_len - 1, 128:256]
+                     + zz[:, 2:t_len, 256:384])
+                s = jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+            return _rq_prod(s, m2_ref[:], o2_ref[:], relu=True)
+
+        if not pipe:
+            for ci in range(n):
+                o_ref[ci * chunk : (ci + 1) * chunk] = epilogue(
+                    conv2(rq1(d1(taps(ci)))))
+            return
+        a1q = rq1(d1(taps(0)))
+        z_prev = None
+        for ci in range(n):
+            a1f_next = d1(taps(ci + 1)) if ci + 1 < n else None
+            z = conv2(a1q)
+            if z_prev is not None:
+                o_ref[(ci - 1) * chunk : ci * chunk] = epilogue(z_prev)
+            if a1f_next is not None:
+                a1q = rq1(a1f_next)
+            z_prev = z
+        o_ref[(n - 1) * chunk :] = epilogue(z_prev)
+
+    def f(x):
+        return pl.pallas_call(
+            kern,
+            grid=(BATCH // bb,),
+            in_specs=[pl.BlockSpec((bb, 2, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(c) for c in consts],
+            out_specs=pl.BlockSpec((bb, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=(sem,)),
+        )(x, *consts)
+
+    return f
+
+
+def probe_r5conv():
+    """r5 verdict #1: conv-stage restructure candidates, interleaved with
+    the v7/v9 production conv stages in ONE session. The decision matrix:
+    conv2 form (tapk/l256/l384, all with the v9f folded conv1) x chunk size
+    x grid shape x epilogue pipelining."""
+    from modulationdetectioncnn_tpu.ops import infer
+
+    cc = _r5_consts()
+    qm = cc["qm"]
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, T_IN)).astype(np.float32))
+
+    # production v7 conv stage baseline (int8 conv1 + integer rq1)
+    w1e = infer.expand_conv1_weights_v9(qm.w1p)
+    v7_consts = [jnp.asarray(a) for a in
+                 (w1e, qm.m1, qm.o1, np.asarray(cc["w2_l384"]),
+                  np.asarray(cc["m2p"]), np.asarray(cc["o2p"]))]
+
+    def f_v7conv(x):
+        return pl.pallas_call(
+            functools.partial(infer._conv_stage_int8_v7_kernel, chunk=CH,
+                              inv_sx=cc["inv_sx"]),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((BB, 2, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(c) for c in v7_consts],
+            out_specs=pl.BlockSpec((BB, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, *v7_consts)
+
+    v9_consts = [cc["w1f"], cc["w2_l256"], cc["m2p"], cc["o2p"]]
+
+    def f_v9conv(x):
+        return pl.pallas_call(
+            functools.partial(infer._conv_stage_int8_v9_kernel, chunk=CH,
+                              co=cc["c2"], inv_sx=cc["inv_sx"]),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((BB, 2, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(c) for c in v9_consts],
+            out_specs=pl.BlockSpec((BB, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )(x, *v9_consts)
+
+    cases = [
+        ("v7conv prod bb64 ch16 pipe", f_v7conv),
+        ("v9conv prod bb64 ch16", f_v9conv),
+        ("tapk bb64 ch16 pipe",
+         _r5_make_conv(cc, form="tapk", bb=64, chunk=16, pipe=True)),
+        ("tapk bb64 ch16",
+         _r5_make_conv(cc, form="tapk", bb=64, chunk=16, pipe=False)),
+        ("tapk bb16 ch16 (256 steps)",
+         _r5_make_conv(cc, form="tapk", bb=16, chunk=16, pipe=False)),
+        ("tapk bb32 ch32 (128 steps)",
+         _r5_make_conv(cc, form="tapk", bb=32, chunk=32, pipe=False)),
+        ("tapk bb64 ch32",
+         _r5_make_conv(cc, form="tapk", bb=64, chunk=32, pipe=False)),
+        ("tapk bb64 ch32 pipe",
+         _r5_make_conv(cc, form="tapk", bb=64, chunk=32, pipe=True)),
+        ("tapk bb64 ch64 split2",
+         _r5_make_conv(cc, form="tapk", bb=64, chunk=64, pipe=False,
+                       split1=2)),
+        ("l384 bb64 ch16 pipe (v7+fold)",
+         _r5_make_conv(cc, form="l384", bb=64, chunk=16, pipe=True)),
+        ("l256 bb64 ch16 pipe (v9+pipe)",
+         _r5_make_conv(cc, form="l256", bb=64, chunk=16, pipe=True)),
+    ]
+    for name, f in cases:
+        try:
+            sec = chain(name, f, x0)
+            print(f"   -> {BATCH * T_IN / sec / 1e6:.1f} MS/s conv-only",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILS ({str(e)[:160]})", flush=True)
+
+
+def probe_r5dot():
+    """r5 verdict #1 (audit leg): the IN-VMEM dot law. The r4 nk probe
+    streamed 1 MB/step activations from HBM, so its 'per-dot fixed cost'
+    conflated DMA with dispatch. Here: (a) R repeated dots per grid step on
+    the SAME resident block (distinct weight slices, accumulated) -> the
+    time slope over R is the pure per-dot_general cost; (b) M sweep at one
+    dot/step -> per-grid-step cost amortization."""
+
+    def run(mfr, k, n, reps):
+        m = mfr * T_IN
+        w = jnp.asarray(
+            rng.integers(-100, 100, (reps * k, n)).astype(np.int8))
+        a = jnp.asarray(
+            rng.integers(0, 127, (BATCH * T_IN, k), np.int32).astype(np.int8))
+
+        def kern(a_ref, w_ref, o_ref):
+            z = None
+            for r in range(reps):
+                d = jax.lax.dot_general(
+                    a_ref[:], w_ref[r * k : (r + 1) * k],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                z = d if z is None else z + d
+            o_ref[:] = (z >> 9).astype(jnp.int8)
+
+        def f(av):
+            return pl.pallas_call(
+                kern,
+                grid=(BATCH // mfr,),
+                in_specs=[pl.BlockSpec((m, k), lambda i: (i, 0)),
+                          pl.BlockSpec((reps * k, n), lambda i: (0, 0))],
+                out_specs=pl.BlockSpec((m, n), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH * T_IN, n), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(av, w)
+
+        label = (f"dot M={m} K={k} N={n} reps={reps} "
+                 f"steps={BATCH // mfr}")
+        try:
+            chain(label, f, a, work=2 * BATCH * T_IN * k * n * reps)
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: FAILS ({str(e)[:120]})", flush=True)
+
+    # (a) per-dot slope at fixed M=2048 (v7's dot shape family)
+    for n in (128, 256, 384):
+        for reps in (1, 2, 4):
+            run(16, 512, n, reps)
+    # (b) per-step amortization: M sweep at one dot/step
+    for n in (128, 256, 384):
+        for mfr in (32, 64, 128):
+            run(mfr, 512, n, 1)
+    # (c) K sweep: does K=1536 (taps-on-K single dot) pay?
+    run(16, 1536, 128, 1)
+    run(32, 1536, 128, 1)
+
+    # (d) dispatch/fixed floor: a trivial copy kernel at the conv stage's
+    # exact in/out shapes — the pure pallas_call + DMA cost any conv
+    # structure pays before doing a single MAC.
+    xs = jnp.asarray(
+        rng.integers(-127, 127, (BATCH, 2, T_IN), np.int32).astype(np.int8))
+
+    def copy_kern(x_ref, o_ref):
+        o_ref[:] = jnp.broadcast_to(
+            x_ref[:, :1, :].astype(jnp.int8), o_ref.shape)
+
+    def f_copy(av):
+        return pl.pallas_call(
+            copy_kern,
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((BB, 2, T_IN), lambda i: (i, 0, 0))],
+            out_specs=pl.BlockSpec((BB, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(av)
+
+    try:
+        chain("dispatch floor: conv-shaped copy kernel", f_copy, xs)
+    except Exception as e:  # noqa: BLE001
+        print(f"copy kernel: FAILS ({str(e)[:120]})", flush=True)
+
+    # (e) the 2048^3 int8 ceiling, same session (contrastable with (a)/(b))
+    a2k = jnp.asarray(
+        rng.integers(-100, 100, (2048, 2048), np.int32).astype(np.int8))
+    w2k = jnp.asarray(
+        rng.integers(-100, 100, (2048, 2048), np.int32).astype(np.int8))
+
+    def ceil_kern(a_ref, w_ref, o_ref):
+        z = jax.lax.dot_general(
+            a_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        o_ref[:] = (z >> 9).astype(jnp.int8)
+
+    def f_ceil(av):
+        return pl.pallas_call(
+            ceil_kern,
+            in_specs=[pl.BlockSpec((2048, 2048), lambda: (0, 0)),
+                      pl.BlockSpec((2048, 2048), lambda: (0, 0))],
+            out_specs=pl.BlockSpec((2048, 2048), lambda: (0, 0)),
+            out_shape=jax.ShapeDtypeStruct((2048, 2048), jnp.int8),
+        )(av, w2k)
+
+    try:
+        chain("ceiling 2048^3 int8 (i8 store)", f_ceil, a2k,
+              work=2 * 2048 ** 3, batch=2048)
+    except Exception as e:  # noqa: BLE001
+        print(f"ceiling: FAILS ({str(e)[:120]})", flush=True)
+
+
+def probe_r5full():
+    """v10 full-net A/B vs v7 (interleaved), dense-block and chunk
+    variants, and the batch sweep (VERDICT r4 next #2/#6)."""
+    from modulationdetectioncnn_tpu.ops import infer
+
+    qm = _qm()
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, T_IN)).astype(np.float32))
+
+    cases = [
+        ("v7 full (baseline)", infer.make_int8_classifier_v7(qm)),
+        ("v10 full dbb256", infer.make_int8_classifier_v10(qm)),
+        ("v10 full dbb512",
+         infer.make_int8_classifier_v10(qm, dense_block_b=512)),
+        ("v10 full ch8", infer.make_int8_classifier_v10(qm, chunk=8)),
+        ("v10 full ch16 bb128",
+         infer.make_int8_classifier_v10(qm, block_b=128)),
+    ]
+    for name, f in cases:
+        try:
+            sec = chain(name, f, x0)
+            print(f"   -> {BATCH * T_IN / sec / 1e6:.1f} MS/s", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILS ({str(e)[:160]})", flush=True)
+
+    # batch sweep on v10 (and v7 for reference at 8192)
+    for b in (8192, 16384):
+        xb = jnp.asarray(
+            rng.standard_normal((b, 2, T_IN)).astype(np.float32))
+        for name, mk in (("v10", infer.make_int8_classifier_v10),
+                         ("v7", infer.make_int8_classifier_v7)):
+            if name == "v7" and b == 16384:
+                continue
+            try:
+                sec = chain(f"{name} full B={b}", mk(qm), xb, batch=b)
+                print(f"   -> {b * T_IN / sec / 1e6:.1f} MS/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} B={b}: FAILS ({str(e)[:160]})", flush=True)
+
+
+def probe_r5ab():
+    """Definitive interleaved multi-sample A/B around the r5full findings:
+    3 round-robin chained samples per case (a single two-length pair can
+    glitch 3x low on this tunnel — memory/probe r4g)."""
+    from modulationdetectioncnn_tpu.ops import infer
+
+    qm = _qm()
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, T_IN)).astype(np.float32))
+    cases = [
+        ("v7 full", infer.make_int8_classifier_v7(qm)),
+        ("v10 ch8 bb64", infer.make_int8_classifier_v10(qm)),
+        ("v10 ch8 bb32", infer.make_int8_classifier_v10(qm, block_b=32)),
+        ("v10 ch4 bb64", infer.make_int8_classifier_v10(qm, chunk=4)),
+        ("v10 ch8 dbb512",
+         infer.make_int8_classifier_v10(qm, dense_block_b=512)),
+    ]
+    res = {name: [] for name, _ in cases}
+    for rnd in range(3):
+        for name, f in cases:
+            try:
+                sec = chain(f"{name} [{rnd}]", f, x0)
+                res[name].append(sec * 1e6)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILS ({str(e)[:120]})", flush=True)
+    for name, v in res.items():
+        if v:
+            med = sorted(v)[len(v) // 2]
+            print(f"MEDIAN {name:20s} {med:8.1f} us "
+                  f"{BATCH * T_IN / med:.1f} MS/s "
+                  f"samples={[round(s, 1) for s in v]}", flush=True)
+
+
+def probe_r5c2():
+    """Conv-stage-only multi-sample A/B: was r5conv's l256-pipe 750.5 us a
+    single-pair glitch, and does 'parallel' vs 'arbitrary' semantics (or a
+    trailing dense consumer) change the picture?"""
+    from modulationdetectioncnn_tpu.ops import infer
+
+    cc = _r5_consts()
+    qm = cc["qm"]
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, T_IN)).astype(np.float32))
+
+    w1e = infer.expand_conv1_weights_v9(qm.w1p)
+    v7_consts = [jnp.asarray(a) for a in
+                 (w1e, qm.m1, qm.o1, np.asarray(cc["w2_l384"]),
+                  np.asarray(cc["m2p"]), np.asarray(cc["o2p"]))]
+
+    def f_v7conv(x):
+        return pl.pallas_call(
+            functools.partial(infer._conv_stage_int8_v7_kernel, chunk=CH,
+                              inv_sx=cc["inv_sx"]),
+            grid=(BATCH // BB,),
+            in_specs=[pl.BlockSpec((BB, 2, T_IN), lambda i: (i, 0, 0))]
+            + [_spec(c) for c in v7_consts],
+            out_specs=pl.BlockSpec((BB, T_IN, 128), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((BATCH, T_IN, 128), jnp.int8),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+        )(x, *v7_consts)
+
+    cases = [
+        ("v7conv", f_v7conv),
+        ("l256p ch16 arb",
+         _r5_make_conv(cc, form="l256", bb=64, chunk=16, pipe=True)),
+        ("l256p ch16 par",
+         _r5_make_conv(cc, form="l256", bb=64, chunk=16, pipe=True,
+                       sem="parallel")),
+        ("l256p ch8 arb",
+         _r5_make_conv(cc, form="l256", bb=64, chunk=8, pipe=True)),
+        ("l256p ch8 par",
+         _r5_make_conv(cc, form="l256", bb=64, chunk=8, pipe=True,
+                       sem="parallel")),
+    ]
+    res = {name: [] for name, _ in cases}
+    for rnd in range(3):
+        for name, f in cases:
+            try:
+                sec = chain(f"{name} [{rnd}]", f, x0)
+                res[name].append(sec * 1e6)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILS ({str(e)[:120]})", flush=True)
+    for name, v in res.items():
+        if v:
+            med = sorted(v)[len(v) // 2]
+            print(f"MEDIAN {name:18s} {med:8.1f} us conv-only "
+                  f"samples={[round(s, 1) for s in v]}", flush=True)
+
+
 PROBES = {
+    "r5conv": probe_r5conv,
+    "r5full": probe_r5full,
+    "r5ab": probe_r5ab,
+    "r5c2": probe_r5c2,
+    "r5dot": probe_r5dot,
     "r4": probe_r4,
     "r4b": probe_r4b,
     "r4c": probe_r4c,

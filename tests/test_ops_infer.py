@@ -123,7 +123,7 @@ def test_expand_conv1_weights_tapk_layout():
 
 
 @pytest.mark.parametrize("version", ["v1", "v2", "v3", "v4", "v5", "v6",
-                                     "v7", "v9"])
+                                     "v7", "v9", "v10"])
 def test_make_int8_predict_all_versions_agree(setup, version):
     """Every selectable eval kernel version produces golden labels
     (interpret mode; on-chip parity is proven by scripts/train_eval_full)."""
@@ -184,6 +184,29 @@ def test_expand_conv1_weights_v9f_contract(setup):
     assert (w[7] == 0).all()
     # the 8-bit-significand offset snap keeps the bias lane bf16-exact
     assert np.all(np.asarray(w.astype(jnp.bfloat16), np.float32) == w)
+
+
+@pytest.mark.parametrize("version", ["v7", "v9", "v10"])
+def test_conv_stage_full_activation_parity(setup, version):
+    """FULL conv2 activation map bit-matches the golden int8 chain (not
+    just the argmax labels — ADVICE r4 #4): every valid (frame, t, channel)
+    int8 activation of the fused conv stage equals golden
+    quantize_input -> conv1_int8 -> conv2_int8."""
+    model, params, x = setup
+    from modulationdetectioncnn_tpu.train.quant import quantize
+
+    calib = np.random.default_rng(8).standard_normal((64, 2, 128)).astype(
+        np.float32
+    )
+    qm = quantize(model, params, calib)
+    conv = infer.make_conv_stage(qm, version, block_b=8, chunk=4,
+                                 interpret=True)
+    got = np.asarray(conv(jnp.asarray(x)))  # (16, 128, 128) int8
+    x_i8 = gq.quantize_input(x, qm.s_x)
+    a1 = gq.conv1_int8(x_i8, qm.w1p, qm.m1, qm.o1)      # (16, 126, 512)
+    a2 = gq.conv2_int8(a1, qm.w2p, qm.m2, qm.o2)        # (16, 124, 80)
+    co = a2.shape[-1]
+    np.testing.assert_array_equal(got[:, : a2.shape[1], :co], a2)
 
 
 def test_xla_int8_reference_matches_golden_exactly(setup):
