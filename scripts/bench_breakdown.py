@@ -58,7 +58,13 @@ def _chain(fn, x0, honest_sum: bool = False):
 
     pilot = measure_per_iter_chained(body, x0, n1=4, n2=16)
     delta = max(32, min(2000, int(0.06 / max(pilot, 1e-6))))
-    return measure_per_iter_chained(body, x0, n1=8, n2=8 + delta)
+    # 3-sample median (r5 methodology: single chained pairs glitch up to
+    # 3x low on this tunnel — sol_audit_r5.json methodology_note).
+    samples = sorted(
+        measure_per_iter_chained(body, x0, n1=8, n2=8 + delta)
+        for _ in range(3)
+    )
+    return samples[1]
 
 
 def main(out_path: str = "/root/repo/artifacts/bench_r4.json") -> None:

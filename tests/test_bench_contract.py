@@ -26,6 +26,37 @@ def test_bench_run_contract_fields(capsys):
     assert parsed["metric"] == res["metric"]
 
 
+def test_bench_calibration_headlines_the_fastest_kernel(monkeypatch, capsys):
+    """Per-session kernel calibration (VERDICT r4 next #7): every candidate
+    gets the full median measurement, the winner becomes the headline
+    backend, and its own measurement is reused (no re-measure)."""
+    import bench as bench_mod
+
+    rates = {"pallas_int8_v7": 2.0e6, "pallas_int8_v10": 3.0e6,
+             "pallas_int8_v9": 1.0e6}
+    measured_backends = []
+
+    def fake_make(cfg, backend, batch):
+        return backend, (None,)
+
+    def fake_measure(fwd, args, bc, frame_len):
+        measured_backends.append(fwd)
+        fps = rates[fwd]
+        return fps, fps * frame_len, {
+            "samples_per_sec_min": round(fps * frame_len),
+            "timing_samples_us": [round(1e6 * bc.batch_size / fps, 1)] * 5,
+        }
+
+    monkeypatch.setattr(bench_mod, "make_classifier", fake_make)
+    monkeypatch.setattr(bench_mod, "_measure", fake_measure)
+    cfg = apply_overrides(AmcConfig(), ["bench.stream_extra=false"])
+    res = bench_mod.run(cfg, quiet=True)
+    assert res["backend"] == "pallas_int8_v10"  # fastest candidate wins
+    assert res["fallback"] is False
+    # one full measurement per candidate, none repeated for the winner
+    assert sorted(measured_backends) == sorted(rates)
+
+
 def test_stream_bench_contract_fields():
     import bench as bench_mod
 
