@@ -3679,6 +3679,13 @@ def probe_r4f():
 #   is the measured per-chip optimum of this program family. v10 is kept
 #   as a selectable kernel + calibration candidate (bench.py measures all
 #   three per session and headlines the winner).
+# r5d2 — last levers, 3-sample medians: dense dbb sweep FLAT at the HBM
+#   floor (128: 165.0 / 256: 152.5 / 512: 148.8 — no VMEM-pressure win;
+#   the stage is bound by its 67 MB input read); v7 conv epilogue
+#   pipelining depth sweep: depth1 (prod) 863.7, depth2 895.6, depth3
+#   876.5, depth2+bb128 854.7 — deeper deferral buys nothing outside the
+#   ±4% session band. Both stages confirmed at their measured floors;
+#   sol_audit_r5.json stands.
 
 # ---------------------------------------------------------------------- r5
 def _r5_consts():
@@ -4128,11 +4135,140 @@ def probe_r5c2():
                   f"samples={[round(s, 1) for s in v]}", flush=True)
 
 
+def probe_r5d2():
+    """Last two levers inside the audit frame, 3-sample interleaved medians:
+    (a) dense-stage dbb sweep — at dbb=256 the double-buffered 4 MB input
+    blocks + 4 MB resident W3 sit near the 16 MB VMEM limit, possibly
+    blocking DMA overlap (dense measures 149 us vs its 82 us HBM floor);
+    (b) v7 conv with 3-deep epilogue pipelining (defer the epilogue two
+    chunks back — a wider MXU/VPU overlap window for +3 MB z VMEM)."""
+    from modulationdetectioncnn_tpu.ops import infer
+
+    qm = _qm()
+    c2 = qm.m2.shape[0]
+    nc = qm.b4.shape[0]
+    t_in = T_IN
+
+    # ---- (a) dense-only dbb sweep
+    w3p = infer.pack_dense1_weights_v3(qm.w3, t_in - 4, c2, t_in)
+    w4 = infer._pad_cols(qm.w4)
+    s4 = infer._pad_cols(qm.s4)
+    b4 = infer._pad_cols(qm.b4)
+    dense_consts = [jnp.asarray(a) for a in (w3p, qm.m3, qm.o3, w4, s4, b4)]
+    h0 = jnp.asarray(
+        rng.integers(0, 80, (BATCH, t_in * 128), np.int32).astype(np.int8))
+
+    def make_dense(dbb):
+        def f(hb):
+            return pl.pallas_call(
+                functools.partial(infer._dense_argmax_int8_kernel, nc=nc),
+                grid=(BATCH // dbb,),
+                in_specs=[pl.BlockSpec((dbb, t_in * 128), lambda i: (i, 0))]
+                + [_spec(a) for a in dense_consts],
+                out_specs=pl.BlockSpec((dbb, 1), lambda i: (i, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, 1), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(hb, *dense_consts)
+        return f
+
+    # ---- (b) v7 conv, 3-deep epilogue pipelining
+    w1e = infer.expand_conv1_weights_v9(qm.w1p)
+    cin = qm.w2p.shape[0] // 2
+    w2 = np.asarray(qm.w2p).reshape(2, cin, 3, c2).transpose(0, 2, 1, 3)
+    w2k = infer.pack_conv2_weights_tap384(w2)
+    m2p = infer._pad_cols(qm.m2)
+    o2p = infer._pad_cols(qm.o2)
+    conv_consts = [jnp.asarray(a) for a in (w1e, qm.m1, qm.o1, w2k, m2p, o2p)]
+    inv_sx = float(1.0 / qm.s_x)
+
+    def v7deep_kernel(x_ref, w1_ref, m1_ref, o1_ref, w2_ref, m2_ref,
+                      o2_ref, o_ref, *, chunk, depth):
+        tb, t_len = x_ref.shape[0], x_ref.shape[2]
+        m = chunk * t_len
+        n = tb // chunk
+
+        def dot1(ci):
+            xb = x_ref[ci * chunk : (ci + 1) * chunk]
+            xp = jnp.concatenate(
+                [xb, pltpu.roll(xb, t_len - 1, 2),
+                 pltpu.roll(xb, t_len - 2, 2), jnp.zeros_like(xb)], axis=1)
+            xq = jnp.clip(jnp.round(xp * inv_sx), -127.0, 127.0
+                          ).astype(jnp.int8)
+            xe = jnp.swapaxes(xq, 1, 2).reshape(m, 8)
+            return jax.lax.dot_general(
+                xe, w1_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+        def shift_add(z):
+            s = (z[:, 0 : t_len - 2, 0:128]
+                 + z[:, 1 : t_len - 1, 128:256]
+                 + z[:, 2:t_len, 256:384])
+            return jnp.pad(s, ((0, 0), (0, 2), (0, 0)))
+
+        a1q = _rq_prod(dot1(0), m1_ref[:], o1_ref[:], relu=True)
+        zq = []  # deferred epilogues, oldest first
+        for ci in range(n):
+            a1_next = dot1(ci + 1) if ci + 1 < n else None
+            z = jax.lax.dot_general(
+                a1q, w2_ref[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).reshape(chunk, t_len, 384)
+            if len(zq) >= depth:
+                cj = ci - len(zq)
+                o_ref[cj * chunk : (cj + 1) * chunk] = _rq_prod(
+                    shift_add(zq.pop(0)), m2_ref[:], o2_ref[:], relu=True)
+            if a1_next is not None:
+                a1q = _rq_prod(a1_next, m1_ref[:], o1_ref[:], relu=True)
+            zq.append(z)
+        for j, z in enumerate(zq):
+            cj = n - len(zq) + j
+            o_ref[cj * chunk : (cj + 1) * chunk] = _rq_prod(
+                shift_add(z), m2_ref[:], o2_ref[:], relu=True)
+
+    def make_v7deep(depth, bb=64, chunk=16):
+        def f(x):
+            return pl.pallas_call(
+                functools.partial(v7deep_kernel, chunk=chunk, depth=depth),
+                grid=(BATCH // bb,),
+                in_specs=[pl.BlockSpec((bb, 2, t_in), lambda i: (i, 0, 0))]
+                + [_spec(a) for a in conv_consts],
+                out_specs=pl.BlockSpec((bb, t_in, 128), lambda i: (i, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((BATCH, t_in, 128), jnp.int8),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel",)),
+            )(x, *conv_consts)
+        return f
+
+    x0 = jnp.asarray(rng.standard_normal((BATCH, 2, t_in)).astype(np.float32))
+    cases = (
+        [(f"dense dbb={d}", make_dense(d), h0) for d in (128, 256, 512)]
+        + [("v7conv depth1 (prod)", make_v7deep(1), x0),
+           ("v7conv depth2", make_v7deep(2), x0),
+           ("v7conv depth3", make_v7deep(3), x0),
+           ("v7conv depth2 bb128", make_v7deep(2, bb=128), x0)]
+    )
+    res = {name: [] for name, _, _ in cases}
+    for rnd in range(3):
+        for name, f, xin in cases:
+            try:
+                sec = chain(f"{name} [{rnd}]", f, xin)
+                res[name].append(sec * 1e6)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILS ({str(e)[:120]})", flush=True)
+    for name, v in res.items():
+        if v:
+            med = sorted(v)[len(v) // 2]
+            print(f"MEDIAN {name:22s} {med:8.1f} us "
+                  f"samples={[round(s, 1) for s in v]}", flush=True)
+
+
 PROBES = {
     "r5conv": probe_r5conv,
     "r5full": probe_r5full,
     "r5ab": probe_r5ab,
     "r5c2": probe_r5c2,
+    "r5d2": probe_r5d2,
     "r5dot": probe_r5dot,
     "r4": probe_r4,
     "r4b": probe_r4b,
