@@ -3686,6 +3686,15 @@ def probe_r4f():
 #   876.5, depth2+bb128 854.7 — deeper deferral buys nothing outside the
 #   ±4% session band. Both stages confirmed at their measured floors;
 #   sol_audit_r5.json stands.
+# r5cfo — CFO cost decomposition, 3-sample medians @ B=4096: the whole
+#   normalize measures TINY standalone (estimate_cfo 25.6 us, est+correct
+#   23.8, x^4+DFT+|Z|^2 22.9, peak+parabola 20.1, pad2 est 19.3), yet the
+#   stream A/B charges CFO 6-12% of the chain (~75-145 us). Same family
+#   as the r3 timing mystery: XLA's fusion decisions at full-chain shapes
+#   materialize intermediates the standalone graphs fuse away. A fused
+#   Pallas peak kernel would cut <20 us of a cost that lives in
+#   cross-fusion, so it was NOT built; the honest statement stays in
+#   config.py (CFO ON at a measured 6-12% chain cost).
 
 # ---------------------------------------------------------------------- r5
 def _r5_consts():
@@ -4263,7 +4272,79 @@ def probe_r5d2():
                   f"samples={[round(s, 1) for s in v]}", flush=True)
 
 
+def probe_r5cfo():
+    """Decompose the measured 6-12% CFO chain cost (VERDICT r4 next #3)
+    into its components at B=4096: x^4 power, the (T,512) f32 DFT matmuls,
+    the spectrum passes (spec2/argmax/3x masked magnitudes), and the
+    cos/sin correction — to size a fused Pallas peak-search kernel."""
+    from modulationdetectioncnn_tpu.dsp import normalize
+
+    x0 = jnp.asarray(
+        rng.standard_normal((BATCH, 2, T_IN)).astype(np.float32))
+
+    def f_est(x):
+        return normalize.estimate_cfo(x)
+
+    def f_est_pad2(x):
+        return normalize.estimate_cfo(x, pad_factor=2)
+
+    def f_full(x):
+        return normalize.correct_cfo(x, normalize.estimate_cfo(x))
+
+    def f_corr(x):
+        cfo = jnp.mean(x[:, 0], axis=-1) * 1e-6  # cheap stand-in estimate
+        return normalize.correct_cfo(x, cfo)
+
+    def f_x4dft(x):
+        xr, xi = x[..., 0, :], x[..., 1, :]
+        pr, pi = xr * xr - xi * xi, 2 * xr * xi
+        pr, pi = pr * pr - pi * pi, 2 * pr * pi
+        cos_m, sin_m = (jnp.asarray(a)
+                        for a in normalize._padded_dft_matrices(T_IN, 512))
+        zr = pr @ cos_m - pi @ sin_m
+        zi = pi @ cos_m + pr @ sin_m
+        return zr * zr + zi * zi
+
+    def f_peak(s2):
+        n = s2.shape[-1]
+        k = jnp.argmax(s2, axis=-1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, s2.shape, s2.ndim - 1)
+
+        def mag_at(idx):
+            sel = (idx % n)[..., None] == lanes
+            return jnp.sqrt(jnp.max(jnp.where(sel, s2, 0.0), axis=-1))
+
+        alpha, beta, gamma = mag_at(k - 1), mag_at(k), mag_at(k + 1)
+        denom = alpha - 2 * beta + gamma
+        delta = jnp.where(jnp.abs(denom) > 1e-30,
+                          0.5 * (alpha - gamma) / denom, 0.0)
+        return (k + delta) / n
+
+    s2_0 = jnp.asarray(
+        rng.standard_normal((BATCH, 512)).astype(np.float32) ** 2)
+    cases = [("estimate_cfo pad4 (XLA)", f_est, x0),
+             ("estimate_cfo pad2 (XLA)", f_est_pad2, x0),
+             ("est+correct full", f_full, x0),
+             ("correct only (cos/sin+cmul)", f_corr, x0),
+             ("x^4 + DFT + |Z|^2 only", f_x4dft, x0),
+             ("peak+parabola only", f_peak, s2_0)]
+    res = {name: [] for name, _, _ in cases}
+    for rnd in range(3):
+        for name, f, xin in cases:
+            try:
+                sec = chain(f"{name} [{rnd}]", f, xin)
+                res[name].append(sec * 1e6)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILS ({str(e)[:120]})", flush=True)
+    for name, v in res.items():
+        if v:
+            med = sorted(v)[len(v) // 2]
+            print(f"MEDIAN {name:28s} {med:8.1f} us "
+                  f"samples={[round(s, 1) for s in v]}", flush=True)
+
+
 PROBES = {
+    "r5cfo": probe_r5cfo,
     "r5conv": probe_r5conv,
     "r5full": probe_r5full,
     "r5ab": probe_r5ab,
