@@ -3695,6 +3695,11 @@ def probe_r4f():
 #   Pallas peak kernel would cut <20 us of a cost that lives in
 #   cross-fusion, so it was NOT built; the honest statement stays in
 #   config.py (CFO ON at a measured 6-12% chain cost).
+# r5cfo2 — rank ruled out too: est+correct on the chain's 4-D (M,F,2,T)
+#   frames 26.2 us vs 3-D 23.7; pre-flattening saves ~1.5 us. The chain
+#   cost is a whole-graph fusion interaction with the channelizer/framer
+#   producers (and partly the A/B's own 88-94% same-session spread), not
+#   a localizable op.
 
 # ---------------------------------------------------------------------- r5
 def _r5_consts():
@@ -4343,8 +4348,61 @@ def probe_r5cfo():
                   f"samples={[round(s, 1) for s in v]}", flush=True)
 
 
+def probe_r5cfo2():
+    """Is the chain's CFO cost a RANK effect? The stream chain normalizes
+    (M, F, 2, T) 4-D frames; the standalone probe used 3-D (B, 2, T).
+    Also A/B the full power+CFO normalize at both ranks."""
+    from modulationdetectioncnn_tpu.dsp import normalize
+
+    x3 = jnp.asarray(
+        rng.standard_normal((BATCH, 2, T_IN)).astype(np.float32))
+    x4 = jnp.asarray(
+        rng.standard_normal((16, BATCH // 16, 2, T_IN)).astype(np.float32))
+
+    def f_est3(x):
+        return normalize.correct_cfo(x, normalize.estimate_cfo(x))
+
+    def f_est4(x):
+        return normalize.correct_cfo(x, normalize.estimate_cfo(x))
+
+    def f_norm3(x):
+        x = normalize.power_normalize(x)
+        return normalize.correct_cfo(x, normalize.estimate_cfo(x))
+
+    def f_norm4(x):
+        x = normalize.power_normalize(x)
+        return normalize.correct_cfo(x, normalize.estimate_cfo(x))
+
+    def f_norm4_flat(x):
+        lead = x.shape[:-2]
+        xf = x.reshape((-1,) + x.shape[-2:])
+        xf = normalize.power_normalize(xf)
+        out = normalize.correct_cfo(xf, normalize.estimate_cfo(xf))
+        return out.reshape(lead + out.shape[-2:])
+
+    cases = [("est+corr 3-D (B,2,T)", f_est3, x3),
+             ("est+corr 4-D (M,F,2,T)", f_est4, x4),
+             ("power+cfo 3-D", f_norm3, x3),
+             ("power+cfo 4-D", f_norm4, x4),
+             ("power+cfo 4-D flattened", f_norm4_flat, x4)]
+    res = {name: [] for name, _, _ in cases}
+    for rnd in range(3):
+        for name, f, xin in cases:
+            try:
+                sec = chain(f"{name} [{rnd}]", f, xin)
+                res[name].append(sec * 1e6)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name}: FAILS ({str(e)[:120]})", flush=True)
+    for name, v in res.items():
+        if v:
+            med = sorted(v)[len(v) // 2]
+            print(f"MEDIAN {name:26s} {med:8.1f} us "
+                  f"samples={[round(s, 1) for s in v]}", flush=True)
+
+
 PROBES = {
     "r5cfo": probe_r5cfo,
+    "r5cfo2": probe_r5cfo2,
     "r5conv": probe_r5conv,
     "r5full": probe_r5full,
     "r5ab": probe_r5ab,
