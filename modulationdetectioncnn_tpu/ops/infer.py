@@ -3,14 +3,18 @@
 The forward runs as TWO fused Pallas kernels (replacing the reference's
 per-layer HDL pipeline, SURVEY.md CS-2):
 
-- **conv stage**: conv1 (VPU shift-MACs, stacked layout) -> conv2
-  (tap-packed MXU matmul, K=512 N=240, + shift-add) in one program. The
-  (B, 126, 512) conv1 activation — the biggest tensor in the network —
-  never touches HBM. Output: (B, 124, 80) conv2 activations.
-- **dense stage**: dense1 + dense2 fused matmuls on the flattened (B, 9920)
-  activations (the flatten is a free HBM-level reshape between kernels;
-  in-kernel reshapes of non-lane-aligned minors don't lower in Mosaic —
-  verified on-TPU this session).
+- **conv stage** (v7 production form): in-kernel quantize + tap build ->
+  conv1 as a small-K MXU dot ((chunk*T, 8) @ (8, 512)) -> integer
+  requantize -> conv2 as a tap-packed MXU dot (K=512, N=384) ->
+  sublane-offset shift-add -> requantize, epilogue-pipelined 2 deep
+  across chunks. The (B, T, 512) conv1 activation — the biggest tensor in
+  the network — never touches HBM. Output: (B, T, 128) int8 map whose
+  valid region is the (B, 124, 80) conv2 activations (padding rows/lanes
+  are nulled by the zero rows of the packed dense weights).
+- **dense stage**: dense1 + dense2 + argmax fused on the flattened
+  (B, T*128) map (the flatten is a free HBM-level reshape between
+  kernels; in-kernel reshapes of non-lane-aligned minors don't lower in
+  Mosaic — verified on-TPU).
 
 The int8 path accumulates in int32 on the MXU and requantizes with the same
 fixed-point integer spec as golden/quant.py — (acc + offset) >> shift with
