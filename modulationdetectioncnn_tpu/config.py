@@ -213,9 +213,13 @@ class BenchConfig:
     # winner becomes the headline (both medians stamped into stderr). A
     # tunnel-phase shift can no longer silently leave a slower kernel as
     # the recorded number.
+    # v9 is excluded from the default candidate set: it placed third in
+    # every r5 calibration session (1155-1185 us vs v7's 1077-1126), and
+    # each candidate costs a ~40-90 s tunnel compile before the contract
+    # line can print. It stays selectable as a backend.
     calibrate: bool = True
     calibration_candidates: Tuple[str, ...] = (
-        "pallas_int8_v7", "pallas_int8_v10", "pallas_int8_v9")
+        "pallas_int8_v7", "pallas_int8_v10")
 
 
 @dataclass(frozen=True)

@@ -32,8 +32,12 @@ def test_bench_calibration_headlines_the_fastest_kernel(monkeypatch, capsys):
     backend, and its own measurement is reused (no re-measure)."""
     import bench as bench_mod
 
-    rates = {"pallas_int8_v7": 2.0e6, "pallas_int8_v10": 3.0e6,
-             "pallas_int8_v9": 1.0e6}
+    cands = AmcConfig().bench.calibration_candidates
+    assert "pallas_int8_v7" in cands and len(cands) > 1
+    # fastest candidate is NOT the default backend, so the test proves the
+    # winner actually switches
+    rates = {c: (3.0e6 if c == "pallas_int8_v10" else 2.0e6 - 1e5 * i)
+             for i, c in enumerate(cands)}
     measured_backends = []
 
     def fake_make(cfg, backend, batch):
